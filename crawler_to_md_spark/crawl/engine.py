@@ -1,0 +1,387 @@
+"""The distributed BFS crawl engine: driver loop over batch-DataFrame waves.
+
+One wave == one Structured-Streaming-style micro-batch (SURVEY.md C1):
+
+    pending  = frontier ANTI-JOIN visited                  [narrow on key]
+    selected = politeness quotas (host windows, global cap)
+    fetched  = selected JOIN corpus ON url                 [fetch stage]
+    gate     = status==200 AND content_type LIKE 'text/html%'
+    scraped  = Arrow scrape UDF (markdown, title, caption, image, links)
+    links    = posexplode -> resolve (RFC-3986 UDF) -> defrag -> validity
+    new      = links ANTI-JOIN frontier (bloom prefilter + exact backing)
+    ranked   = distributed global rank -> discovery_rank continues rowid
+    COMMIT   = append pages, frontier, visited, metrics (wave-tagged)
+
+Reference semantics reproduced wave-for-wave (scraper.py:247-376; see
+crawl/simulator.py for the line-cited contract). State transitions are
+append-only logs — ``visited`` replaces ``UPDATE links SET visited=TRUE``
+(database_manager.py:93) with an anti-join at read time, which is the
+MERGE-free shape that scales (no copy-on-write of a 10^10-row table each
+wave).
+
+Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
+- every join is keyed on xxhash64(url); the corpus/fetch join broadcasts
+  only when the wave is small (AQE decides from runtime stats);
+- image/page payload BYTES never enter a shuffle: scrape output is joined
+  back to payloads by key only at the final append (SURVEY.md §7 hard
+  part 4);
+- discovery_rank is assigned by a range-partitioned rank, never a
+  single-partition window (operators/rank.py);
+- the bloom seen-set prunes the duplicate-heavy candidate stream before
+  the anti-join shuffle (operators/seen.py);
+- crash mid-wave: recovery rolls every table back to the last wave whose
+  ``visited`` append committed (the wave's commit point), then re-derives
+  the partial wave — idempotent replay (SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.html import make_scrape_udf
+from ..functions.urls import (
+    defrag,
+    host_of,
+    resolve_href,
+    url_hash,
+    valid_link_expr,
+)
+from ..operators.politeness import apply_global_budget, apply_host_quota, robots_gate
+from ..operators.rank import with_global_rank
+from ..operators.seen import BloomSeenSet, anti_join_new
+from ..tables import SnapshotTable
+
+_RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
+
+
+@dataclass
+class CrawlConfig:
+    base_url: str | None = None
+    include_patterns: list[str] = field(default_factory=list)
+    exclude_patterns: list[str] = field(default_factory=list)
+    include_selectors: list[str] = field(default_factory=list)
+    exclude_selectors: list[str] = field(default_factory=list)
+    seed_list_mode: bool = False          # C2: skip discovery entirely
+    per_host_budget: int | None = None    # politeness quota per wave
+    global_budget: int | None = None      # reference rate_limit parity knob
+    max_waves: int | None = None
+    use_bloom: bool = True
+    bloom_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 22
+    salt: int = 8
+    salt_threshold: int = 100_000
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, root: str, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = config or CrawlConfig()
+        self.frontier = SnapshotTable(os.path.join(root, "frontier"))
+        self.visited = SnapshotTable(os.path.join(root, "visited"))
+        self.pages = SnapshotTable(os.path.join(root, "pages"))
+        self.metrics = SnapshotTable(os.path.join(root, "metrics"))
+        self._bloom_path = os.path.join(root, "bloom", "seen.npz")
+        self.bloom: BloomSeenSet | None = None
+        if self.cfg.use_bloom:
+            if os.path.exists(self._bloom_path):
+                self.bloom = BloomSeenSet.load(self._bloom_path)
+            else:
+                self.bloom = BloomSeenSet(
+                    self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard
+                )
+
+    # ------------------------------------------------------------------ seeds
+
+    def seed(self, seeds: list[str] | None = None, single_url: str | None = None):
+        """Insert seeds as wave 0 (reference scraper.py:258-272):
+        list seeds validated, single --url NOT validated, no defrag,
+        first-occurrence order preserved (utils.py:93-105)."""
+        rows = []
+        seen: set[str] = set()
+        for s in seeds or []:
+            if s not in seen:
+                seen.add(s)
+                rows.append((s, len(rows), True))
+        if single_url is not None and single_url not in seen:
+            rows.append((single_url, len(rows), False))
+        df = self.spark.createDataFrame(
+            rows, "url string, pos long, needs_validation boolean"
+        )
+        valid = valid_link_expr(
+            F.col("url"),
+            self.cfg.base_url,
+            self.cfg.include_patterns,
+            self.cfg.exclude_patterns,
+        )
+        df = df.filter(~F.col("needs_validation") | valid)
+        seeded = df.select(
+            url_hash(F.col("url")).alias("url_hash"),
+            F.col("url"),
+            host_of(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("wave_discovered"),
+            F.col("pos").alias("discovery_rank"),
+        )
+        self.frontier.append(seeded, {"wave": 0, "kind": "seeds"})
+        # wave-0 commit point: an empty visited append marks seeding done
+        empty_visited = self.spark.createDataFrame(
+            [], "url_hash long, url string, wave_visited int, status string"
+        )
+        self.visited.append(empty_visited, {"wave": 0})
+        if self.bloom is not None:
+            self.bloom.add_distributed(seeded)
+            self.bloom.save(self._bloom_path)
+
+    # --------------------------------------------------------------- recovery
+
+    def last_committed_wave(self) -> int:
+        if not self.visited.exists():
+            return -1
+        waves = [s["summary"].get("wave", -1) for s in self.visited.snapshots()]
+        return max(waves, default=-1)
+
+    def recover(self) -> int:
+        """Roll pages/frontier/metrics back to the last wave whose visited
+        append committed; returns that wave. Idempotent."""
+        last = self.last_committed_wave()
+        for tbl in (self.frontier, self.pages, self.metrics):
+            good = 0
+            for s in tbl.snapshots():
+                if s["summary"].get("wave", -1) <= last:
+                    good = s["version"]
+            tbl.rollback_to(good)
+        if self.bloom is not None and self.frontier.exists():
+            # bloom may be ahead of the rolled-back frontier; rebuild exactly
+            self.bloom = BloomSeenSet(
+                self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard
+            )
+            fr = self.frontier.read(self.spark)
+            if fr.limit(1).count() > 0:
+                self.bloom.add_distributed(fr)
+            self.bloom.save(self._bloom_path)
+        return last
+
+    # ------------------------------------------------------------------- wave
+
+    def pending(self) -> DataFrame:
+        fr = self.frontier.read(self.spark)
+        vis = self.visited.read(self.spark).select("url_hash", "url")
+        return fr.join(vis, ["url_hash", "url"], "left_anti")
+
+    def _next_rank_base(self) -> int:
+        fr = self.frontier.read(self.spark)
+        row = fr.agg(F.max("discovery_rank").alias("m")).collect()[0]
+        m = row["m"] if row["m"] is not None else -1
+        return (int(m) // _RANK_STRIDE + 1) * _RANK_STRIDE
+
+    def run_wave(
+        self, wave: int, corpus: DataFrame, robots_rules: DataFrame | None = None
+    ) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        pending = self.pending()
+
+        if robots_rules is not None:
+            pending = robots_gate(pending, robots_rules)
+        if cfg.per_host_budget is not None:
+            pending = apply_host_quota(
+                pending, cfg.per_host_budget,
+                order_cols=["depth", "discovery_rank"],
+                salt=cfg.salt, salt_threshold=cfg.salt_threshold,
+            )
+        if cfg.global_budget is not None:
+            pending = apply_global_budget(pending, cfg.global_budget)
+        pending = pending.persist()
+        n_selected = pending.count()
+        if n_selected == 0:
+            pending.unpersist()
+            return {"wave": wave, "fetched": 0, "done": True}
+
+        # ---- fetch stage (corpus join stands in for HTTP GET; see corpus.py)
+        corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
+        fetched = pending.join(
+            corpus_k, pending["url"] == corpus_k["c_url"], "left"
+        ).drop("c_url")
+
+        ok = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+        fetched = fetched.withColumn(
+            "_gate", F.when(ok.isNull(), F.lit(False)).otherwise(ok)
+        ).persist()
+
+        # ---- scrape stage (single pass over HTML: content + links)
+        scrape = make_scrape_udf(
+            cfg.include_selectors or None,
+            cfg.exclude_selectors or None,
+            extract_links_too=not cfg.seed_list_mode,
+        )
+        scraped = (
+            fetched.filter(F.col("_gate"))
+            .withColumn("_s", scrape(F.col("html"), F.col("url")))
+            .persist()
+        )
+
+        new_pages = scraped.select(
+            "url_hash", "url", "host", "discovery_rank",
+            F.col("_s.content").alias("content"),
+            F.create_map(F.lit("title"), F.col("_s.title")).alias("metadata"),
+            F.col("_s.caption").alias("page_caption"),
+            F.col("_s.image_id").alias("page_image_id"),
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            F.lit(wave).alias("wave"),
+        )
+        self.pages.append(new_pages, {"wave": wave})
+        n_pages = new_pages.count()
+
+        # ---- discovery stage
+        n_new = 0
+        if not cfg.seed_list_mode:
+            links = (
+                scraped.select(
+                    F.col("discovery_rank").alias("src_rank"),
+                    F.col("depth").alias("src_depth"),
+                    F.col("url").alias("src_url"),
+                    F.posexplode_outer(F.col("_s.links")).alias("pos", "href"),
+                )
+                .filter(F.col("href").isNotNull())
+                .withColumn("link", defrag(F.col("href")))
+                .filter(
+                    valid_link_expr(
+                        F.col("link"), cfg.base_url,
+                        cfg.include_patterns, cfg.exclude_patterns,
+                    )
+                )
+                .select(
+                    url_hash(F.col("link")).alias("url_hash"),
+                    F.col("link").alias("url"),
+                    host_of(F.col("link")).alias("host"),
+                    (F.col("src_depth") + 1).alias("depth"),
+                    "src_rank", "pos",
+                )
+            )
+            # first-write-wins within the wave: lexicographic min of
+            # (src_rank, pos) per URL == earliest discovery
+            links = (
+                links.groupBy("url_hash", "url")
+                .agg(
+                    F.min(F.struct("src_rank", "pos", "depth", "host")).alias("o")
+                )
+                .select(
+                    "url_hash", "url",
+                    F.col("o.host").alias("host"),
+                    F.col("o.depth").alias("depth"),
+                    F.col("o.src_rank").alias("src_rank"),
+                    F.col("o.pos").alias("pos"),
+                )
+            )
+            seen = self.frontier.read(self.spark).select("url_hash", "url")
+            new_links = anti_join_new(links, seen, bloom=self.bloom)
+            ranked = with_global_rank(
+                new_links, ["src_rank", "pos"], "wrank",
+                start=0,
+            )
+            base = self._next_rank_base()
+            new_frontier = ranked.select(
+                "url_hash", "url", "host", "depth",
+                F.lit(wave).alias("wave_discovered"),
+                (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
+            )
+            self.frontier.append(new_frontier, {"wave": wave})
+            n_new = new_frontier.count()
+            if self.bloom is not None:
+                self.bloom.add_distributed(new_frontier)
+                self.bloom.save(self._bloom_path)
+            ranked.unpersist()
+
+        # ---- visited commit (the wave's commit point)
+        visited_rows = fetched.select(
+            "url_hash", "url",
+            F.lit(wave).alias("wave_visited"),
+            F.when(F.col("_gate"), F.lit("done")).otherwise(F.lit("skipped"))
+            .alias("status"),
+        )
+        self.visited.append(visited_rows, {"wave": wave})
+
+        dt = time.time() - t0
+        m = {
+            "wave": wave, "selected": n_selected, "pages": int(n_pages),
+            "new_links": int(n_new), "seconds": dt, "done": False,
+        }
+        self.metrics.append(
+            self.spark.createDataFrame(
+                [(wave, n_selected, int(n_pages), int(n_new), float(dt))],
+                "wave int, selected long, pages long, new_links long, seconds double",
+            ),
+            {"wave": wave},
+        )
+        scraped.unpersist()
+        fetched.unpersist()
+        pending.unpersist()
+        return m
+
+    # -------------------------------------------------------------------- run
+
+    def run(
+        self,
+        corpus: DataFrame,
+        seeds: list[str] | None = None,
+        single_url: str | None = None,
+        robots_rules: DataFrame | None = None,
+        resume: bool = False,
+    ) -> list[dict]:
+        """Crawl to frontier exhaustion. With ``resume=True`` the engine
+        recovers from the last committed wave instead of seeding."""
+        if resume:
+            start_wave = self.recover() + 1
+        else:
+            self.seed(seeds=seeds, single_url=single_url)
+            start_wave = 1
+        all_metrics: list[dict] = []
+        wave = start_wave
+        while True:
+            if self.cfg.max_waves is not None and wave > self.cfg.max_waves:
+                break
+            m = self.run_wave(wave, corpus, robots_rules)
+            all_metrics.append(m)
+            if m.get("done"):
+                break
+            wave += 1
+        return all_metrics
+
+    # ---------------------------------------------------------------- outputs
+
+    def links_state(self) -> DataFrame:
+        """The reference's links table: (url, visited) with deterministic
+        rowid order materialized as discovery_rank."""
+        fr = self.frontier.read(self.spark)
+        vis = self.visited.read(self.spark).select(
+            "url_hash", "url", F.lit(True).alias("visited")
+        ).dropDuplicates(["url_hash", "url"])
+        return (
+            fr.join(vis, ["url_hash", "url"], "left")
+            .select(
+                "url", F.coalesce("visited", F.lit(False)).alias("visited"),
+                "discovery_rank",
+            )
+            .orderBy("discovery_rank")
+        )
+
+    def pages_df(self) -> DataFrame:
+        return self.pages.read(self.spark).orderBy("discovery_rank")
+
+    def drop(self) -> None:
+        for t in (self.frontier, self.visited, self.pages, self.metrics):
+            t.drop()
+        if os.path.exists(self._bloom_path):
+            os.remove(self._bloom_path)
+
+
+def metadata_json(metadata_map_col):
+    """map<string,string> -> the reference's JSON TEXT shape."""
+    return F.to_json(metadata_map_col)

@@ -1,0 +1,221 @@
+"""HTML parsing / extraction: pure functions + Arrow UDF wrappers.
+
+The reference parses with BeautifulSoup and converts with MarkItDown
+(scraper.py:152-161, 192-232). Neither library is installed in this
+sandbox, so this module implements a deterministic regex-based parser for
+the RESTRICTED HTML DIALECT our synthetic corpus generator emits
+(flat <div id=/class=> blocks, <a href>, <title>, <h1..6>, <p>,
+<figcaption>, <img>). The pure functions here are the SINGLE source of
+truth for extraction semantics: both the Spark UDFs (engine) and the
+sequential parity simulator (crawl/simulator.py) call them, so
+engine-vs-reference-semantics parity is byte-exact by construction.
+
+Reference semantics preserved:
+- link extraction = all a[href] values, resolved with urljoin
+  (scraper.py:152-161), de-duplicated per page (set(), scraper.py:171 —
+  we pin first-occurrence-in-document order as the parity ordering
+  contract, SURVEY.md §8.1);
+- include-selector projection: matched blocks in selector-then-document
+  order (scraper.py:194-211); '#id' matches FIRST id match only,
+  '.class' and 'tag' match all (scraper.py:82-98);
+- exclude-selector pruning applied AFTER include (scraper.py:213-215);
+- title = <title> text else "" (scraper.py:218-220);
+- empty markdown -> (None, None) (scraper.py:234-236).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HREF_RE = re.compile(r"<a\s[^>]*?href=\"([^\"]*)\"[^>]*>", re.IGNORECASE)
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_CAPTION_RE = re.compile(r"<figcaption>(.*?)</figcaption>", re.IGNORECASE | re.DOTALL)
+_IMG_RE = re.compile(r"<img\s[^>]*?src=\"([^\"]*)\"[^>]*>", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_HEADER_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>", re.IGNORECASE | re.DOTALL)
+_P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_hrefs(html: str) -> list[str]:
+    """All a[href] values in document order (duplicates kept; the caller
+    dedups per the parity ordering contract)."""
+    return _HREF_RE.findall(html or "")
+
+
+def extract_links(html: str, page_url: str) -> list[str]:
+    """Absolute out-links in first-occurrence document order, urljoined
+    against the page URL (scraper.py:161) and de-duplicated."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in extract_hrefs(html):
+        absolute = urljoin(page_url, href)
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+def extract_title(html: str) -> str:
+    m = _TITLE_RE.search(html or "")
+    return m.group(1).strip() if m else ""
+
+
+def extract_caption(html: str) -> str | None:
+    m = _CAPTION_RE.search(html or "")
+    return m.group(1).strip() if m else None
+
+
+def extract_image_id(html: str) -> str | None:
+    m = _IMG_RE.search(html or "")
+    return m.group(1) if m else None
+
+
+def _block_pattern(selector: str) -> re.Pattern:
+    """Compile a selector ('#id' | '.class' | 'tag') into a block regex for
+    the generator's flat (non-nested) element dialect."""
+    if selector.startswith("#"):
+        ident = re.escape(selector[1:])
+        return re.compile(
+            rf"<(\w+)[^>]*\sid=\"{ident}\"[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+        )
+    if selector.startswith("."):
+        cls = re.escape(selector[1:])
+        return re.compile(
+            rf"<(\w+)[^>]*\sclass=\"{cls}\"[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+        )
+    tag = re.escape(selector)
+    return re.compile(rf"<({tag})[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+
+
+def filter_html(
+    html: str,
+    include_selectors: list[str] | None = None,
+    exclude_selectors: list[str] | None = None,
+) -> str:
+    """Include-projection then exclude-pruning (scraper.py:194-215).
+
+    Include: concatenate matched blocks in selector-then-document order;
+    '#id' keeps only the first match (reference soup.find semantics).
+    Exclude: remove matching blocks from the (possibly projected) doc.
+    """
+    doc = html or ""
+    if include_selectors:
+        parts: list[str] = []
+        for sel in include_selectors:
+            matches = [m.group(0) for m in _block_pattern(sel).finditer(doc)]
+            if sel.startswith("#"):
+                matches = matches[:1]
+            parts.extend(matches)
+        doc = "\n".join(parts)
+    if exclude_selectors:
+        for sel in exclude_selectors:
+            doc = _block_pattern(sel).sub("", doc)
+    return doc
+
+
+def html_to_markdown(html: str) -> str:
+    """Deterministic HTML->Markdown for the restricted dialect (the
+    MarkItDown slot, scraper.py:222-232; in-memory, no temp files).
+
+    <hN>x</hN> -> '#'*N + ' x'; <p>x</p> -> x; <figcaption> -> *x*;
+    remaining tags stripped; blank-line separated in document order.
+    """
+    doc = html or ""
+    # drop head section entirely (title is metadata, not content)
+    doc = re.sub(r"<head>.*?</head>", "", doc, flags=re.DOTALL | re.IGNORECASE)
+    pieces: list[tuple[int, str]] = []
+    for m in _HEADER_RE.finditer(doc):
+        level = int(m.group(1))
+        text = _TAG_RE.sub("", m.group(2)).strip()
+        pieces.append((m.start(), "#" * level + " " + text))
+    for m in _P_RE.finditer(doc):
+        text = _TAG_RE.sub("", m.group(1)).strip()
+        if text:
+            pieces.append((m.start(), text))
+    for m in _CAPTION_RE.finditer(doc):
+        text = _TAG_RE.sub("", m.group(1)).strip()
+        if text:
+            pieces.append((m.start(), f"*{text}*"))
+    pieces.sort(key=lambda t: t[0])
+    return "\n\n".join(p for _, p in pieces)
+
+
+def scrape_page(
+    html: str,
+    include_selectors: list[str] | None = None,
+    exclude_selectors: list[str] | None = None,
+) -> tuple[str | None, str, str | None, str | None]:
+    """(markdown|None, title, caption|None, image_id|None) — the reference's
+    scrape_page contract (scraper.py:176-245): selector filtering, title
+    from the ORIGINAL doc, empty markdown -> None."""
+    title = extract_title(html)
+    filtered = filter_html(html, include_selectors, exclude_selectors)
+    md = html_to_markdown(filtered)
+    caption = extract_caption(filtered)
+    image_id = extract_image_id(filtered)
+    if not md.strip():
+        return None, title, caption, image_id
+    return md, title, caption, image_id
+
+
+# ---------------------------------------------------------------------------
+# Arrow UDF wrappers (batch-vectorized; engine hot path)
+# ---------------------------------------------------------------------------
+
+_SCRAPE_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def make_scrape_udf(
+    include_selectors: list[str] | None = None,
+    exclude_selectors: list[str] | None = None,
+    extract_links_too: bool = True,
+):
+    """Build the per-batch scrape UDF with selector config compiled in
+    (config is closure state, broadcast with the task — no per-row branching).
+    One pass produces content+metadata+links so the fetched HTML is read
+    once (reference reuses the fetched body the same way, scraper.py:345-356).
+    """
+
+    @F.pandas_udf(_SCRAPE_SCHEMA)
+    def scrape_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        contents, titles, captions, image_ids, links = [], [], [], [], []
+        for h, u in zip(html, url):
+            if h is None:
+                contents.append(None)
+                titles.append("")
+                captions.append(None)
+                image_ids.append(None)
+                links.append([])
+                continue
+            md, title, caption, image_id = scrape_page(
+                h, include_selectors, exclude_selectors
+            )
+            contents.append(md)
+            titles.append(title)
+            captions.append(caption)
+            image_ids.append(image_id)
+            links.append(extract_links(h, u) if extract_links_too else [])
+        return pd.DataFrame(
+            {
+                "content": contents,
+                "title": titles,
+                "caption": captions,
+                "image_id": image_ids,
+                "links": links,
+            }
+        )
+
+    return scrape_udf

@@ -1,0 +1,143 @@
+"""Engine-vs-reference-semantics parity (SURVEY.md §5.1).
+
+The sequential simulator (crawl/simulator.py) re-states the reference
+crawler's observable semantics line-by-line; the distributed engine must
+produce the identical final URL-seen membership, visited flags, crawl
+ordering (BFS waves + pinned within-wave contract), and page contents.
+"""
+
+import json
+
+import pytest
+
+from crawler_to_md_spark.crawl.corpus import synth_corpus, synth_corpus_rows
+from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+from crawler_to_md_spark.crawl.simulator import simulate_crawl
+
+
+def run_both(spark, tmp_path, n_pages=60, cfg_kwargs=None, sim_kwargs=None,
+             seeds=None, single_url=None, use_bloom=True):
+    rows = synth_corpus_rows(n_pages=n_pages, n_hosts=3, branching=3, seed=42)
+    corpus = synth_corpus(spark, n_pages=n_pages, n_hosts=3, branching=3, seed=42)
+    cfg = CrawlConfig(use_bloom=use_bloom, bloom_shards=4,
+                      bloom_bits_per_shard=1 << 16, **(cfg_kwargs or {}))
+    eng = CrawlEngine(spark, str(tmp_path / "store"), cfg)
+    eng.run(corpus, seeds=seeds, single_url=single_url)
+    sim = simulate_crawl(rows, seeds=seeds, single_url=single_url,
+                         **(sim_kwargs or {}))
+    return eng, sim
+
+
+def assert_parity(eng, sim):
+    links = eng.links_state().collect()
+    got_links = [(r["url"], r["visited"]) for r in links]
+    want_links = list(sim.links.items())
+    assert got_links == want_links, (
+        f"links mismatch:\n got={got_links[:10]}\nwant={want_links[:10]}"
+    )
+    pages = eng.pages_df().select("url", "content", "metadata").collect()
+    got_pages = {r["url"]: (r["content"], json.dumps(dict(r["metadata"])))
+                 for r in pages}
+    assert set(got_pages) == set(sim.pages)
+    for url, (content, metadata) in sim.pages.items():
+        gc, gm = got_pages[url]
+        assert gc == content, f"content mismatch for {url}"
+        assert json.loads(gm) == json.loads(metadata)
+    # page processing order (insertion order == discovery_rank order)
+    got_page_order = [r["url"] for r in pages]
+    assert got_page_order == list(sim.pages)
+
+
+def test_full_crawl_parity(spark, tmp_path):
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=60,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    assert_parity(eng, sim)
+    # BFS wave structure: every engine frontier row's wave matches the
+    # simulator's wave index
+    fr = eng.frontier.read(eng.spark).orderBy("discovery_rank").collect()
+    sim_wave_of = {}
+    for i, wave in enumerate(sim.waves):
+        for u in wave:
+            sim_wave_of.setdefault(u, i)
+    for r in fr:
+        if r["url"] in sim_wave_of:
+            assert r["wave_discovered"] == sim_wave_of[r["url"]], r["url"]
+
+
+def test_seed_list_mode_no_discovery(spark, tmp_path):
+    seeds = [
+        "https://host0.example/p/0",
+        "https://host1.example/p/1",
+        "https://host0.example/p/0",   # duplicate: first-occurrence dedup
+        "https://host2.example/p/999999",  # fetch-miss -> visited, no page
+        "https://host0.example/p/3#frag",  # seeds are NOT defragged
+    ]
+    eng, sim = run_both(spark, tmp_path, seeds=seeds,
+                        cfg_kwargs={"seed_list_mode": True})
+    assert_parity(eng, sim)
+    assert len(sim.waves) == 1  # exactly one wave, no discovery
+
+
+def test_filters_parity(spark, tmp_path):
+    kw = dict(
+        base_url="https://host0.example/",
+        include_patterns=["/p/", "/dir"],
+        exclude_patterns=["logout"],
+    )
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=60,
+        cfg_kwargs=kw, sim_kwargs={**kw, "seed_list_mode": False},
+        single_url="https://host0.example/p/0",
+    )
+    assert_parity(eng, sim)
+
+
+def test_selector_parity(spark, tmp_path):
+    kw = dict(exclude_selectors=[".ad"])
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=40,
+        cfg_kwargs=kw, sim_kwargs={**kw, "seed_list_mode": False},
+        single_url="https://host0.example/p/0",
+    )
+    assert_parity(eng, sim)
+
+
+def test_bloom_off_same_result(spark, tmp_path):
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=40, use_bloom=False,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    assert_parity(eng, sim)
+
+
+def test_non200_and_nonhtml_marked_visited_no_page(spark, tmp_path):
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=60,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    rows = {r["url"]: r for r in synth_corpus(
+        eng.spark, n_pages=60, n_hosts=3, branching=3, seed=42
+    ).collect()}
+    page_urls = {r["url"] for r in eng.pages_df().collect()}
+    for url, visited in sim.links.items():
+        if visited and url in rows:
+            r = rows[url]
+            is_page = r["status"] == 200 and r["content_type"].startswith("text/html")
+            assert (url in page_urls) == is_page, url
+
+
+def test_empty_content_pages_kept_with_null(spark, tmp_path):
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=90,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    nulls_sim = {u for u, (c, _) in sim.pages.items() if c is None}
+    nulls_eng = {r["url"] for r in eng.pages_df().collect() if r["content"] is None}
+    assert nulls_sim == nulls_eng
+    assert nulls_sim, "fixture must exercise the NULL-content path"
