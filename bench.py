@@ -1,0 +1,196 @@
+"""Benchmark entry (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the crawl-engine throughput bench run at
+TWO parallelism levels (local[8] vs local[32]) to evidence the
+north_rule's N->4N scaling criterion in this single-node sandbox
+(BASELINE.md). Prints ONE JSON line; also refreshes BENCH/BASELINE.md.
+
+Crawl bench workload: deterministic distributed synthetic corpus
+(spark.range + column exprs, zero Python in generation), BFS crawl to
+frontier exhaustion with bloom seen-set + politeness windows engaged —
+the full production code path. Throughput = URLs fetched / wall seconds.
+Frontier-dedup microbench: candidate URLs/sec through canonicalize +
+xxhash64 + bloom prefilter + exact anti-join.
+
+Usage:
+  python bench.py                      # full suite + scaling, one JSON line
+  python bench.py --crawl-only C N    # subprocess mode: crawl at local[C]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+DEDUP_CANDIDATES = int(os.environ.get("SPARK_GRAFT_BENCH_CANDS", "2000000"))
+
+
+def _crawl_bench(cpus: int, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.crawl.corpus import synth_corpus_distributed
+    from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.operators.seen import BloomSeenSet, anti_join_new
+    from crawler_to_md_spark.session import get_spark
+
+    spark = get_spark(f"crawl-bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+    corpus = synth_corpus_distributed(spark, n_pages, n_hosts=64,
+                                      branching=8).persist()
+    corpus.count()  # materialize outside the timed section
+
+    with tempfile.TemporaryDirectory() as root:
+        cfg = CrawlConfig(
+            use_bloom=True,
+            per_host_budget=10_000_000,  # politeness path engaged, non-binding
+            salt=8, salt_threshold=50_000,
+        )
+        eng = CrawlEngine(spark, root, cfg)
+        t0 = time.time()
+        eng.run(corpus, single_url="https://host0.example/p/0")
+        crawl_s = time.time() - t0
+        fetched = eng.visited.read(spark).count()
+
+    # frontier-dedup microbench: canonicalize + hash + bloom + anti-join
+    from crawler_to_md_spark.functions.urls import canonicalize, url_hash
+
+    seen_n = DEDUP_CANDIDATES // 2
+    seen = spark.range(seen_n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 1000).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url")
+    ).select(url_hash(canonicalize(F.col("url"))).alias("url_hash"), "url")
+    bloom = BloomSeenSet(num_shards=16, bits_per_shard=1 << 23)
+    bloom.add_distributed(seen)
+    cands = spark.range(DEDUP_CANDIDATES).select(
+        F.concat(F.lit(" HTTPS://H"), (F.col("id") % 1000).cast("string"),
+                 F.lit(".example/p/"), (F.col("id") % (seen_n * 2)).cast("string"),
+                 F.lit("#frag")).alias("raw")
+    )
+    t0 = time.time()
+    canon = cands.select(canonicalize(F.col("raw")).alias("url"))
+    keyed = canon.select(url_hash(F.col("url")).alias("url_hash"), "url")
+    n_new = anti_join_new(keyed, seen, bloom=bloom).count()
+    dedup_s = time.time() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "urls_fetched": fetched,
+        "crawl_seconds": round(crawl_s, 2),
+        "urls_per_sec": round(fetched / crawl_s, 1),
+        "dedup_candidates": DEDUP_CANDIDATES,
+        "dedup_new": n_new,
+        "dedup_seconds": round(dedup_s, 2),
+        "dedup_per_sec": round(DEDUP_CANDIDATES / dedup_s, 1),
+    }
+
+
+def _run_crawl_subprocess(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-only",
+         str(cpus), str(CRAWL_PAGES)],
+        capture_output=True, text=True, timeout=1800, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _headline_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+    from crawler_to_md_spark.queries import QUERIES
+    from crawler_to_md_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+    names = [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "events_sessionize", "topk_per_user", "seen_antijoin",
+        "dedup_exact_docs", "token_stats", "quality_per_doc",
+        "minhash_pairs_docs", "embedding_topk", "jaccard_pairs_docs",
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def _write_baseline_md(result: dict) -> None:
+    lo, hi = result["crawl_scaling"]["local8"], result["crawl_scaling"]["local32"]
+    eff = result["crawl_scaling"]["efficiency"]
+    deff = result["crawl_scaling"]["dedup_efficiency"]
+    lines = [
+        "# BENCH/BASELINE — measured numbers",
+        "",
+        f"Generated by bench.py (corpus={CRAWL_PAGES} pages, "
+        f"dedup candidates={DEDUP_CANDIDATES}).",
+        "",
+        "| metric | local[8] | local[32] | scaling efficiency (N->4N) |",
+        "|---|---|---|---|",
+        f"| crawl URLs fetched/sec | {lo['urls_per_sec']} | {hi['urls_per_sec']} "
+        f"| {eff} |",
+        f"| frontier dedup candidates/sec | {lo['dedup_per_sec']} "
+        f"| {hi['dedup_per_sec']} | {deff} |",
+        "",
+        "Headline query timings (seconds, sf=" + str(result["sf"]) + "):",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in result["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-only":
+        cpus, n_pages = int(sys.argv[2]), int(sys.argv[3])
+        global CRAWL_PAGES
+        CRAWL_PAGES = n_pages
+        print(json.dumps(_crawl_bench(cpus, n_pages)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    t0 = time.time()
+    queries = _headline_queries(sf_dir, cpus)
+    lo = _run_crawl_subprocess(8)
+    hi = _run_crawl_subprocess(32)
+    eff = round(hi["urls_per_sec"] / (4 * lo["urls_per_sec"]), 3)
+    deff = round(hi["dedup_per_sec"] / (4 * lo["dedup_per_sec"]), 3)
+    total = round(time.time() - t0, 2)
+
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl_scaling": {
+            "local8": lo,
+            "local32": hi,
+            "efficiency": eff,
+            "dedup_efficiency": deff,
+        },
+    }
+    _write_baseline_md(result)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

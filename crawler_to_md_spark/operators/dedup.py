@@ -1,0 +1,310 @@
+"""Document deduplication at training-pipeline scale.
+
+Five strategies, each a distributed DataFrame plan (no driver loops):
+
+- exact:       hash-groupBy on normalized text (first-write-wins like the
+               reference's INSERT OR IGNORE, database_manager.py:48-51).
+- minhash_lsh: shingle -> minhash signature (numpy Arrow UDF) -> band ->
+               bucket self-join -> EXACT Jaccard verify (array_intersect /
+               array_union, JVM-side). Classic Broder MinHash + LSH.
+- simhash:     64-bit weighted-bit-vote fingerprint; near-dups via banded
+               equality blocking + hamming<=r verify (bit_count(xor)).
+- ngram_jaccard: exact pairwise n-gram Jaccard within cheap blocking keys
+               (the small-scale oracle for the sketch methods).
+- embedding:   cosine near-dup over array<float> embeddings via random-
+               hyperplane LSH blocking + exact cosine verify.
+
+Scale notes: every candidate-pair generator blocks BEFORE joining (band
+buckets, hyperplane buckets) so the self-join never goes quadratic; bucket
+skew is capped by ``max_bucket`` (oversized buckets are dropped and
+logged — at 100 TB a bucket holding >10^4 docs is a degenerate shingle,
+not signal). Signatures are computed in one Arrow pass with numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace, strip — the canonical form exact
+    dedup keys on."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct normalized text."""
+    w = Window.partitionBy("_k").orderBy(id_col)
+    return (
+        df.withColumn("_k", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Array of word n-gram shingle strings (JVM-side higher-order fns)."""
+    toks = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def _minhash_udf(num_perm: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([0] * num_perm)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
+            # (a*h + b) mod p for all perms at once: (P, S) matrix min
+            with np.errstate(over="ignore"):
+                m = (a[:, None].astype(np.uint64) * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return mh
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, shingles, sig: array<long>[num_perm])."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("shingles"),
+    )
+    hashes = sh.withColumn(
+        "_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    return hashes.withColumn("sig", _minhash_udf(num_perm, seed)(F.col("_h"))).drop("_h")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: signature -> band slices -> bucket hash -> self-join per bucket
+    (candidates only) -> exact Jaccard on shingle sets -> threshold.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed).persist()
+    banded = sigs.select(
+        "id", "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # cap degenerate buckets (skew guard)
+    sizes = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        sizes.filter(F.col("count") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"),
+                         F.col("shingles").alias("sh_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"),
+                          F.col("shingles").alias("sh_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    out = (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    sigs.unpersist()
+    return out
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the oracle for minhash_lsh_pairs;
+    quadratic — small scales / tests only)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash_udf(seed: int):
+    @F.pandas_udf(T.LongType())
+    def sh(token_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in token_hashes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for i in range(63, -1, -1):
+                val = (val << 1) | int(votes[i] > 0)
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="object")
+
+    return sh
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 11
+) -> DataFrame:
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash_udf(seed)(hashes).alias("simhash"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming. Blocking: any pair
+    within distance r must share at least one of (r+1) bit-bands
+    (pigeonhole), so bands >= max_hamming+1 guarantees recall."""
+    assert bands >= max_hamming + 1
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    width = 64 // bands
+    banded = fp.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for b in range(bands)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col("id").alias("id_a"),
+                      F.col("simhash").alias("h_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"),
+                      F.col("simhash").alias("h_b"))
+    out = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    fp.unpersist()
+    return out
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-dups via random-hyperplane LSH blocking + exact verify.
+
+    Sign sketch: bit i = sign(v . r_i) for seeded gaussian planes r_i.
+    Pairs agreeing on the full sketch are verified with exact cosine
+    (F.aggregate dot product, JVM-side). P(collision) = (1 - theta/pi)^k.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    @F.pandas_udf(T.LongType())
+    def sketch(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())
+        bits = (m @ planes.T) > 0
+        vals = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    sk = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("n"),
+        sketch(F.col(vec_col)).alias("bucket"),
+    )
+    a = sk.select(F.col("bucket"), F.col("id").alias("id_a"),
+                  F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = sk.select(F.col("bucket"), F.col("id").alias("id_b"),
+                  F.col("v").alias("v_b"), F.col("n").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

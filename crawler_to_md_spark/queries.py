@@ -1,0 +1,636 @@
+"""The oracle-checked query suite (driver contract: __spark_entry__).
+
+Each entry: a Spark implementation (spark, sf_dir) -> DataFrame and, where
+ANSI-SQL-expressible, a DuckDB oracle over the same parquet views. Column
+names/aliases match EXACTLY between both sides; float aggregates are
+rounded identically on both sides to absorb summation-order ulps.
+
+Coverage mapping (SURVEY.md §2 -> queries):
+- frontier/seen-set semantics     -> first_event_per_user, seen_antijoin
+- politeness window quotas        -> topk_per_user
+- crawl metrics aggregation       -> docs_by_source, events_hourly
+- order-preserving dedup (T9/T14) -> dedup_exact_docs, first_event_per_user
+- relational analytics core       -> q1/q3/q5 (TPC-H-shaped)
+- sessionization (streaming-ish)  -> events_sessionize
+- training-pipeline text ops      -> token_stats, quality_per_doc,
+                                     lang_id_eval, fingerprint_docs,
+                                     jaccard_pairs_docs
+- similarity search               -> embedding_topk, embedding_pairs
+- crawl engine end-to-end         -> crawl_pages / crawl_links (rows-only;
+                                     the SQL-inexpressible BFS loop is
+                                     parity-tested against the sequential
+                                     simulator in tests/test_crawl_parity.py)
+- sketch dedup (minhash/simhash)  -> rows-only + pytest oracles
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .crawl.corpus import synth_corpus
+from .crawl.engine import CrawlConfig, CrawlEngine
+from .operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
+from .operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics core (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       round(avg(l_extendedprice), 4)                               AS avg_price,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(cust["c_nationkey"] == sup["s_nationkey"])
+        .join(F.broadcast(dims), sup["s_nationkey"] == dims["n_nationkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl-shaped operators over generic tables (oracle-checkable analogs)
+# ---------------------------------------------------------------------------
+
+
+def first_event_per_user(spark, sf_dir):
+    """First-occurrence-wins dedup (reference INSERT OR IGNORE /
+    order-preserving seed dedup, utils.py:93-105): earliest event per user."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("o"))
+        .select(
+            "user_id",
+            F.col("o.event_id").alias("first_event_id"),
+            F.unix_timestamp(F.col("o.ts")).alias("first_ts_epoch"),
+        )
+    )
+
+
+FIRST_EVENT_SQL = """
+SELECT user_id,
+       event_id AS first_event_id,
+       floor(epoch(ts))::BIGINT AS first_ts_epoch
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def topk_per_user(spark, sf_dir):
+    """Politeness-quota shape (operators/politeness.py): top-3 rows per
+    key by priority with deterministic tie-breaks."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rnk")
+    )
+
+
+TOPK_SQL = """
+SELECT user_id, event_id, round(value, 4) AS value, rnk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
+
+def seen_antijoin(spark, sf_dir):
+    """Seen-set anti-join shape (SURVEY.md J1): events from users absent
+    from the customer table, counted by type."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        ev.join(cust, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SEEN_ANTIJOIN_SQL = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+GROUP BY event_type
+"""
+
+
+def docs_by_source(spark, sf_dir):
+    """Per-host crawl-metrics aggregation shape (SURVEY.md A1/A4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+DOCS_BY_SOURCE_SQL = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout): per-user session count —
+    the stateful-streaming operator expressed as batch windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, sum(_new) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (Structured-Streaming shape, run batch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline text/dedup/similarity operators
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+_TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_NTOK_SQL = f"CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKENS_SQL}) END"
+
+
+def token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_nt", token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs, sum(nt) AS total_tokens,
+       round(avg(nt), 4) AS avg_tokens
+FROM (SELECT lang, {_NTOK_SQL} AS nt FROM documents)
+GROUP BY lang
+"""
+
+
+def quality_per_doc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+_PUNCT_SQL = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+_STOP_LIST = "['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with']"
+QUALITY_SQL = f"""
+SELECT doc_id,
+       nt AS n_tokens,
+       round(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN nt > 0 THEN ns::DOUBLE / nt ELSE 0.0 END, 6) AS stopword_ratio,
+       round((least(nt / 20.0, 1.0) +
+              greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 5)) / 2,
+             6) AS quality_score
+FROM (
+  SELECT doc_id,
+         {_NTOK_SQL} AS nt,
+         length(text)::DOUBLE AS nc,
+         {_PUNCT_SQL}::DOUBLE AS np,
+         len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOP_LIST}, t))) AS ns
+  FROM documents
+)
+"""
+
+
+def lang_id_eval(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred", lang_id(F.col("text")))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for code, marks in sorted(LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"list_contains(toks, '{m}')::INT" for m in marks
+        )
+        score_cols.append(f"({terms}) AS s_{code}")
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+SELECT lang, pred, count(*) AS n FROM (
+  SELECT lang, {case} AS pred FROM (
+    SELECT lang, {", ".join(score_cols)}
+    FROM (SELECT lang, {_TOKENS_SQL} AS toks FROM documents)
+  )
+) GROUP BY lang, pred
+"""
+
+
+def fingerprint_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+def jaccard_pairs_docs(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs >= 0.5 over documents (the oracle
+    for the MinHash-LSH sketch path, which is tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, threshold=0.5)
+
+
+JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' ')
+           )
+         ) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for the 3 lowest-id query vectors.
+    Ranks computed over ROUNDED cosine (6dp) with id tie-break so both
+    engines rank identically despite float ulps."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", F.round(dot / (nv * nq), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# NB: DuckDB's list_dot_product accumulates float32 inputs in float32,
+# which drifts ~1e-6 from Spark's double fold; these oracles therefore
+# spell out the dot product as a sequential DOUBLE fold (list_sum over a
+# double-cast product list), matching Spark's F.aggregate bit-for-bit.
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+EMB_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qv')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def embedding_pairs(spark, sf_dir):
+    """Exact all-pairs cosine >= 0.4 (embedding near-dup, exact form; the
+    LSH-blocked variant is pytest-verified)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda a_, x: a_ + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda a_, x: a_ + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+EMB_PAIRS_SQL = f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible; parity-tested in pytest instead)
+# ---------------------------------------------------------------------------
+
+
+def crawl_pages(spark, sf_dir):
+    """End-to-end BFS crawl on the deterministic synthetic corpus; returns
+    the pages table. Parity vs the sequential reference-semantics
+    simulator is asserted in tests/test_crawl_parity.py."""
+    corpus = synth_corpus(spark, n_pages=40, n_hosts=3, branching=3, seed=42)
+    with tempfile.TemporaryDirectory() as root:
+        eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+        eng.run(corpus, single_url="https://host0.example/p/0")
+        out = eng.pages_df().select(
+            "url", "content", "discovery_rank"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def crawl_links(spark, sf_dir):
+    corpus = synth_corpus(spark, n_pages=40, n_hosts=3, branching=3, seed=42)
+    with tempfile.TemporaryDirectory() as root:
+        eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+        eng.run(corpus, single_url="https://host0.example/p/0")
+        out = eng.links_state()
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def minhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32)
+
+
+def simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "first_event_per_user": first_event_per_user,
+    "topk_per_user": topk_per_user,
+    "seen_antijoin": seen_antijoin,
+    "docs_by_source": docs_by_source,
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "dedup_exact_docs": dedup_exact_docs,
+    "token_stats": token_stats,
+    "quality_per_doc": quality_per_doc,
+    "lang_id_eval": lang_id_eval,
+    "fingerprint_docs": fingerprint_docs,
+    "jaccard_pairs_docs": jaccard_pairs_docs,
+    "embedding_topk": embedding_topk,
+    "embedding_pairs": embedding_pairs,
+    "crawl_pages": crawl_pages,
+    "crawl_links": crawl_links,
+    "minhash_pairs_docs": minhash_pairs_docs,
+    "simhash_docs": simhash_docs,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "first_event_per_user": FIRST_EVENT_SQL,
+    "topk_per_user": TOPK_SQL,
+    "seen_antijoin": SEEN_ANTIJOIN_SQL,
+    "docs_by_source": DOCS_BY_SOURCE_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "quality_per_doc": QUALITY_SQL,
+    "lang_id_eval": _lang_sql(),
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "jaccard_pairs_docs": JACCARD_SQL,
+    "embedding_topk": EMB_TOPK_SQL,
+    "embedding_pairs": EMB_PAIRS_SQL,
+    # crawl_pages / crawl_links / minhash_pairs_docs / simhash_docs:
+    # non-SQL-expressible -> rows-only check; parity covered in pytest.
+}

@@ -1,0 +1,98 @@
+"""Resume-from-checkpoint (SURVEY.md §5.2 item 3 / reference C6):
+kill after wave k, restart, final state identical to an uninterrupted run.
+Also crash-mid-wave recovery: tables rolled back to the last wave whose
+visited append committed, partial wave re-derived idempotently."""
+
+from crawler_to_md_spark.crawl.corpus import synth_corpus
+from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+
+
+def _corpus(spark, n=60):
+    return synth_corpus(spark, n_pages=n, n_hosts=3, branching=3, seed=42)
+
+
+def _final_state(eng):
+    links = [(r["url"], r["visited"]) for r in eng.links_state().collect()]
+    pages = [(r["url"], r["content"]) for r in eng.pages_df().collect()]
+    return links, pages
+
+
+def test_resume_after_k_waves(spark, tmp_path):
+    corpus = _corpus(spark)
+    # uninterrupted run
+    full = CrawlEngine(spark, str(tmp_path / "full"), CrawlConfig(use_bloom=False))
+    full.run(corpus, single_url="https://host0.example/p/0")
+
+    # interrupted: stop after 2 waves, then resume in a NEW engine instance
+    part = CrawlEngine(
+        spark, str(tmp_path / "part"),
+        CrawlConfig(use_bloom=False, max_waves=2),
+    )
+    part.run(corpus, single_url="https://host0.example/p/0")
+    resumed = CrawlEngine(spark, str(tmp_path / "part"), CrawlConfig(use_bloom=False))
+    resumed.run(corpus, resume=True)
+
+    assert _final_state(resumed) == _final_state(full)
+
+
+def test_resume_with_bloom(spark, tmp_path):
+    corpus = _corpus(spark, 40)
+    cfg = dict(use_bloom=True, bloom_shards=4, bloom_bits_per_shard=1 << 14)
+    full = CrawlEngine(spark, str(tmp_path / "full"), CrawlConfig(**cfg))
+    full.run(corpus, single_url="https://host0.example/p/0")
+
+    part = CrawlEngine(spark, str(tmp_path / "part"),
+                       CrawlConfig(max_waves=1, **cfg))
+    part.run(corpus, single_url="https://host0.example/p/0")
+    resumed = CrawlEngine(spark, str(tmp_path / "part"), CrawlConfig(**cfg))
+    resumed.run(corpus, resume=True)
+    assert _final_state(resumed) == _final_state(full)
+
+
+def test_crash_mid_wave_recovery(spark, tmp_path):
+    """Simulate a crash between table commits: frontier/pages got wave k
+    appends but visited didn't -> recover() must roll them back and replay
+    wave k to the same final state."""
+    corpus = _corpus(spark, 40)
+    full = CrawlEngine(spark, str(tmp_path / "full"), CrawlConfig(use_bloom=False))
+    full.run(corpus, single_url="https://host0.example/p/0")
+
+    crash = CrawlEngine(spark, str(tmp_path / "crash"),
+                        CrawlConfig(use_bloom=False, max_waves=1))
+    crash.run(corpus, single_url="https://host0.example/p/0")
+
+    # hand-craft the partial wave 2: append pages + frontier, but NOT visited
+    eng2 = CrawlEngine(spark, str(tmp_path / "crash"),
+                       CrawlConfig(use_bloom=False))
+    pending = eng2.pending().limit(3).persist()
+    eng2.pages.append(
+        pending.selectExpr(
+            "url_hash", "url", "host", "discovery_rank",
+            "cast(null as string) as content",
+            "map('title','junk') as metadata",
+            "cast(null as string) as page_caption",
+            "cast(null as string) as page_image_id",
+            "cast(null as string) as image_id", "cast(null as binary) as bytes",
+            "cast(null as int) as w", "cast(null as int) as h",
+            "cast(null as string) as fmt", "cast(null as string) as caption",
+            "cast(null as long) as phash", "cast(2 as int) as wave",
+        ),
+        {"wave": 2},
+    )
+    pending.unpersist()
+
+    resumed = CrawlEngine(spark, str(tmp_path / "crash"),
+                          CrawlConfig(use_bloom=False))
+    resumed.run(corpus, resume=True)
+    assert _final_state(resumed) == _final_state(full)
+
+
+def test_metrics_lineage(spark, tmp_path):
+    corpus = _corpus(spark, 40)
+    eng = CrawlEngine(spark, str(tmp_path / "m"), CrawlConfig(use_bloom=False))
+    waves = eng.run(corpus, single_url="https://host0.example/p/0")
+    mdf = eng.metrics.read(spark).orderBy("wave").collect()
+    assert [r["wave"] for r in mdf] == list(range(1, len(waves)))  # last wave empty
+    assert all(r["seconds"] > 0 for r in mdf)
+    total_pages = sum(r["pages"] for r in mdf)
+    assert total_pages == eng.pages_df().count()

@@ -1,0 +1,125 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.politeness import (
+    apply_global_budget,
+    apply_host_quota,
+    robots_gate,
+)
+from crawler_to_md_spark.operators.rank import with_global_rank
+from crawler_to_md_spark.operators.seen import BloomSeenSet, anti_join_new
+
+
+def _frontier(spark, n=200, hosts=5):
+    return spark.range(n).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("https://h"), (F.col("id") % hosts).cast("string"),
+                 F.lit(".x/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % hosts).cast("string"),
+                 F.lit(".x")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.col("id").alias("discovery_rank"),
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    bloom = BloomSeenSet(num_shards=4, bits_per_shard=1 << 14)
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    probe = bloom.maybe_seen_udf(spark)
+    res = seen.withColumn("hit", probe(F.col("url_hash"))).agg(
+        F.sum(F.col("hit").cast("int")).alias("hits")
+    ).collect()[0]
+    assert res["hits"] == 5000  # bloom never false-negatives
+
+
+def test_bloom_fp_rate_bounded(spark):
+    bloom = BloomSeenSet(num_shards=4, bits_per_shard=1 << 17)
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    probe = bloom.maybe_seen_udf(spark)
+    fresh = spark.range(1_000_000, 1_010_000).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    fp = fresh.withColumn("hit", probe(F.col("url_hash"))).agg(
+        F.avg(F.col("hit").cast("double")).alias("rate")
+    ).collect()[0]["rate"]
+    # m/n ~ 105 bits/key, k=5 -> theoretical fp ~ 1e-6; allow slack
+    assert fp <= 0.01, fp
+
+
+def test_anti_join_with_bloom_is_exact(spark):
+    seen = _frontier(spark, 100).select("url_hash", "url")
+    cands = _frontier(spark, 150).select("url_hash", "url")
+    bloom = BloomSeenSet(num_shards=2, bits_per_shard=1 << 12)
+    bloom.add_distributed(seen)
+    with_bloom = sorted(
+        r["url_hash"] for r in anti_join_new(cands, seen, bloom=bloom).collect()
+    )
+    without = sorted(
+        r["url_hash"] for r in anti_join_new(cands, seen, bloom=None).collect()
+    )
+    assert with_bloom == without == list(range(100, 150))
+
+
+def test_bloom_save_load(tmp_path, spark):
+    bloom = BloomSeenSet(num_shards=2, bits_per_shard=1 << 12)
+    seen = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    p = str(tmp_path / "b" / "seen.npz")
+    bloom.save(p)
+    loaded = BloomSeenSet.load(p)
+    assert np.array_equal(loaded.shards, bloom.shards)
+    assert (loaded.P, loaded.m, loaded.k) == (bloom.P, bloom.m, bloom.k)
+
+
+def test_host_quota_exact_path(spark):
+    sel = apply_host_quota(_frontier(spark, 100, hosts=4), per_host_budget=5,
+                           salt_threshold=1000)
+    rows = sel.collect()
+    counts = {}
+    for r in rows:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    assert all(c == 5 for c in counts.values()) and len(counts) == 4
+    # lowest (depth, discovery_rank) rows win within each host
+    for r in rows:
+        assert r["depth"] == 0 or (r["depth"] == 1 and r["discovery_rank"] < 40)
+
+
+def test_host_quota_salted_path_caps_budget(spark):
+    sel = apply_host_quota(_frontier(spark, 400, hosts=2), per_host_budget=8,
+                           salt=4, salt_threshold=10)
+    counts = {}
+    for r in sel.collect():
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    # salted path: <= ceil(8/4)*4 = 8 per host, >= 1 per host
+    assert all(1 <= c <= 8 for c in counts.values()) and len(counts) == 2
+
+
+def test_global_budget(spark):
+    sel = apply_global_budget(_frontier(spark, 100), 7).collect()
+    assert sorted(r["discovery_rank"] for r in sel) == list(range(7))
+
+
+def test_robots_gate(spark):
+    pending = _frontier(spark, 20, hosts=2)
+    rules = spark.createDataFrame(
+        [("h0.x", "/p/1")], "host string, disallow_prefix string"
+    )
+    kept = {r["url"] for r in robots_gate(pending, rules).collect()}
+    # /p/1, /p/10..18 on h0.x blocked (prefix match), h1.x untouched
+    assert "https://h0.x/p/1" not in kept
+    assert "https://h0.x/p/10" not in kept
+    assert "https://h0.x/p/2" in kept
+    assert "https://h1.x/p/1" in kept
+
+
+def test_global_rank_dense_and_ordered(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("key"), F.col("id").alias("payload")
+    )
+    ranked = with_global_rank(df, ["key"], "rk", start=50)
+    rows = ranked.orderBy("rk").collect()
+    assert [r["rk"] for r in rows] == list(range(50, 1050))
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)

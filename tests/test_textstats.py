@@ -1,0 +1,78 @@
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.operators.textstats import (
+    bpe_ish_piece_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    winnowing_fingerprints,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("solo",)], "text string")
+    got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_bpe_ish(spark):
+    df = spark.createDataFrame([("hello, world!",)], "text string")
+    # pieces: hello , world !  -> 2 alnum runs + 2 symbols
+    assert df.select(bpe_ish_piece_count(F.col("text"))).collect()[0][0] == 4
+
+
+def test_lang_id(spark):
+    rows = [
+        ("the cat and the dog of the house", "en"),
+        ("le chat et la maison des gens avec", "fr"),
+        ("el gato y las casas para los perros", "es"),
+        ("der hund und die katze mit das haus", "de"),
+        ("我 是 的 了 在", "zh"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_lang_id_accuracy_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select("lang", lang_id(F.col("text")).alias("pred"))
+    agg = scored.select(
+        F.avg((F.col("lang") == F.col("pred")).cast("double")).alias("acc")
+    ).collect()[0]
+    # synthetic docs are keyword soups; just require far-better-than-chance
+    assert agg["acc"] >= 0.35, agg["acc"]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox. It runs!"), (2, "!!!???..."), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[3]["n_tokens"] == 0 and rows[3]["quality_score"] == 0.0
+    assert 0 < rows[1]["stopword_ratio"] < 1
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("The  Quick\tFox",), ("the quick fox",)], "text string"
+    )
+    a, b = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert a == b
+
+
+def test_winnowing(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, "totally different words here now ok yes no maybe sure")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: set(r["fingerprints"]) for r in
+            winnowing_fingerprints(df).collect()}
+    assert rows[1] == rows[2]
+    assert not rows[1] & rows[3]
