@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.imagecodec import average_phash, encode_array
+from ..functions.imagecodec import average_phash, decode_bytes, encode_array
 
 _WORDS = (
     "ocean ember quartz willow falcon harbor meadow cinder aspen ridge "
@@ -50,7 +50,10 @@ def _image(rng: np.random.RandomState, fmt: str) -> tuple[bytes, int, int, int]:
     h = int(rng.choice([32, 48, 64]))
     arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     data = encode_array(arr, fmt)
-    return data, w, h, average_phash(arr)
+    # phash is defined over DECODED pixels (what a consumer of `bytes`
+    # sees), so lossy formats hash the quantized image, not the original
+    decoded, _ = decode_bytes(data)
+    return data, w, h, average_phash(decoded)
 
 
 def synth_corpus_rows(

@@ -128,8 +128,12 @@ class CrawlEngine:
             F.lit(0).alias("depth"),
             F.lit(0).alias("wave_discovered"),
             F.col("pos").alias("discovery_rank"),
+        ).persist()
+        max_rank = seeded.agg(F.max("discovery_rank")).collect()[0][0]
+        self.frontier.append(
+            seeded, {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)}
         )
-        self.frontier.append(seeded, {"wave": 0, "kind": "seeds"})
+        seeded.unpersist()
         # wave-0 commit point: an empty visited append marks seeding done
         empty_visited = self.spark.createDataFrame(
             [], "url_hash long, url string, wave_visited int, status string"
@@ -176,10 +180,20 @@ class CrawlEngine:
         return fr.join(vis, ["url_hash", "url"], "left_anti")
 
     def _next_rank_base(self) -> int:
-        fr = self.frontier.read(self.spark)
-        row = fr.agg(F.max("discovery_rank").alias("m")).collect()[0]
-        m = row["m"] if row["m"] is not None else -1
-        return (int(m) // _RANK_STRIDE + 1) * _RANK_STRIDE
+        """Rank watermark from manifest summaries (no Spark job): every
+        frontier append records its max_rank; the next wave's base is the
+        next stride boundary above the running max."""
+        m = -1
+        for s in self.frontier.snapshots():
+            mr = s["summary"].get("max_rank")
+            if mr is not None:
+                m = max(m, int(mr))
+        if m < 0 and self.frontier.exists():  # legacy store without watermarks
+            row = self.frontier.read(self.spark).agg(
+                F.max("discovery_rank").alias("m")
+            ).collect()[0]
+            m = int(row["m"]) if row["m"] is not None else -1
+        return (m // _RANK_STRIDE + 1) * _RANK_STRIDE
 
     def run_wave(
         self, wave: int, corpus: DataFrame, robots_rules: DataFrame | None = None
@@ -282,7 +296,7 @@ class CrawlEngine:
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
             new_links = anti_join_new(links, seen, bloom=self.bloom)
-            ranked = with_global_rank(
+            ranked, n_new = with_global_rank(
                 new_links, ["src_rank", "pos"], "wrank",
                 start=0,
             )
@@ -292,9 +306,12 @@ class CrawlEngine:
                 F.lit(wave).alias("wave_discovered"),
                 (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
             )
-            self.frontier.append(new_frontier, {"wave": wave})
-            n_new = new_frontier.count()
-            if self.bloom is not None:
+            self.frontier.append(
+                new_frontier,
+                {"wave": wave,
+                 "max_rank": base + n_new - 1 if n_new > 0 else None},
+            )
+            if self.bloom is not None and n_new > 0:
                 self.bloom.add_distributed(new_frontier)
                 self.bloom.save(self._bloom_path)
             ranked.unpersist()

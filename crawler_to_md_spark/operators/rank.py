@@ -32,11 +32,12 @@ def with_global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Add a dense global rank column ordered by ``order_cols``.
 
-    Returns a MATERIALIZED (persisted, count-forced) DataFrame — callers
-    append it to a snapshot table and may unpersist afterwards.
+    Returns (ranked_df, total_rows). The DataFrame is MATERIALIZED
+    (persisted, count-forced); the row total falls out of the offset
+    computation for free — callers need no extra .count() job.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -72,4 +73,4 @@ def with_global_rank(
     )
     ranked.count()  # materialize while `part` is pinned
     part.unpersist()
-    return ranked
+    return ranked, acc - start

@@ -140,8 +140,10 @@ class BloomSeenSet:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.savez_compressed(path, shards=self.shards,
-                            meta=np.array([self.P, self.m, self.k]))
+        # uncompressed: the save runs once per wave as part of the
+        # checkpoint commit; zlib over tens of MB would serialize the wave
+        np.savez(path, shards=self.shards,
+                 meta=np.array([self.P, self.m, self.k]))
 
     @classmethod
     def load(cls, path: str) -> "BloomSeenSet":

@@ -94,10 +94,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     upper_ratio = F.when(alpha > 0, upper / alpha).otherwise(F.lit(0.0))
-    # composite: length sweet spot + readable punctuation + some stopwords
+    # composite: length sweet spot + readable punctuation; empty docs -> 0
     length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
-    score = F.round((length_score + punct_score) / 2, 6)
+    score = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round((length_score + punct_score) / 2, 6)
+    )
     return df.select(
         "*",
         n_tokens.alias("n_tokens"),

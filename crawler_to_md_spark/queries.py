@@ -376,9 +376,11 @@ SELECT doc_id,
        nt AS n_tokens,
        round(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN nt > 0 THEN ns::DOUBLE / nt ELSE 0.0 END, 6) AS stopword_ratio,
-       round((least(nt / 20.0, 1.0) +
-              greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 5)) / 2,
-             6) AS quality_score
+       CASE WHEN nt = 0 THEN 0.0 ELSE
+         round((least(nt / 20.0, 1.0) +
+                greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 5)) / 2,
+               6)
+       END AS quality_score
 FROM (
   SELECT doc_id,
          {_NTOK_SQL} AS nt,
