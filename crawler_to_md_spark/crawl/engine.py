@@ -60,6 +60,12 @@ from ..tables import SnapshotTable
 _RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
 
 
+def _npart(n_rows: int, rows_per_file: int = 200_000, cap: int = 32) -> int:
+    """Write-side partition count: avoid the small-files explosion (every
+    wave append otherwise emits one file per shuffle partition)."""
+    return max(1, min(cap, (n_rows + rows_per_file - 1) // rows_per_file))
+
+
 @dataclass
 class CrawlConfig:
     base_url: str | None = None
@@ -76,6 +82,7 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 22
     salt: int = 8
     salt_threshold: int = 100_000
+    profile: bool = False  # per-phase wall timings into wave metrics
 
 
 class CrawlEngine:
@@ -88,6 +95,15 @@ class CrawlEngine:
         self.pages = SnapshotTable(os.path.join(root, "pages"))
         self.metrics = SnapshotTable(os.path.join(root, "metrics"))
         self._bloom_path = os.path.join(root, "bloom", "seen.npz")
+        # frontier feeding: when no scheduler constraint (quota/robots/
+        # budget) can defer rows, wave k+1's pending set IS wave k's new
+        # discoveries — handed over as the frontier append's DELTA FILES
+        # (a lineage-free parquet read; holding the DataFrame itself would
+        # chain every wave's plan into the next and blow up analysis time).
+        # Falls back to the exact anti-join whenever constraints are
+        # configured or on resume.
+        self._fast_next: DataFrame | None = None
+        self._metrics_buf: list[tuple] = []
         self.bloom: BloomSeenSet | None = None
         if self.cfg.use_bloom:
             if os.path.exists(self._bloom_path):
@@ -130,10 +146,11 @@ class CrawlEngine:
             F.col("pos").alias("discovery_rank"),
         ).persist()
         max_rank = seeded.agg(F.max("discovery_rank")).collect()[0][0]
-        self.frontier.append(
-            seeded, {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)}
+        manifest = self.frontier.append(
+            seeded,
+            {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)},
+            target_partitions=1,
         )
-        seeded.unpersist()
         # wave-0 commit point: an empty visited append marks seeding done
         empty_visited = self.spark.createDataFrame(
             [], "url_hash long, url string, wave_visited int, status string"
@@ -142,6 +159,8 @@ class CrawlEngine:
         if self.bloom is not None:
             self.bloom.add_distributed(seeded)
             self.bloom.save(self._bloom_path)
+        seeded.unpersist()
+        self._fast_next = self.frontier.read_delta(self.spark, manifest)
 
     # --------------------------------------------------------------- recovery
 
@@ -200,20 +219,37 @@ class CrawlEngine:
     ) -> dict:
         cfg = self.cfg
         t0 = time.time()
-        pending = self.pending()
+        phases: dict[str, float] = {}
+        _last = [t0]
 
-        if robots_rules is not None:
-            pending = robots_gate(pending, robots_rules)
-        if cfg.per_host_budget is not None:
-            pending = apply_host_quota(
-                pending, cfg.per_host_budget,
-                order_cols=["depth", "discovery_rank"],
-                salt=cfg.salt, salt_threshold=cfg.salt_threshold,
-            )
-        if cfg.global_budget is not None:
-            pending = apply_global_budget(pending, cfg.global_budget)
-        pending = pending.persist()
+        def tick(name: str) -> None:
+            now = time.time()
+            phases[name] = round(phases.get(name, 0.0) + now - _last[0], 3)
+            _last[0] = now
+
+        constrained = (
+            robots_rules is not None
+            or cfg.per_host_budget is not None
+            or cfg.global_budget is not None
+        )
+        if self._fast_next is not None and not constrained:
+            pending = self._fast_next.persist()
+        else:
+            pending = self.pending()
+            if robots_rules is not None:
+                pending = robots_gate(pending, robots_rules)
+            if cfg.per_host_budget is not None:
+                pending = apply_host_quota(
+                    pending, cfg.per_host_budget,
+                    order_cols=["depth", "discovery_rank"],
+                    salt=cfg.salt, salt_threshold=cfg.salt_threshold,
+                )
+            if cfg.global_budget is not None:
+                pending = apply_global_budget(pending, cfg.global_budget)
+            pending = pending.persist()
+        self._fast_next = None
         n_selected = pending.count()
+        tick("select")
         if n_selected == 0:
             pending.unpersist()
             return {"wave": wave, "fetched": 0, "done": True}
@@ -240,6 +276,8 @@ class CrawlEngine:
             .withColumn("_s", scrape(F.col("html"), F.col("url")))
             .persist()
         )
+        n_pages = scraped.count()  # materializes the cache in parallel, so
+        tick("fetch_scrape")       # coalesced writes below read cache only
 
         new_pages = scraped.select(
             "url_hash", "url", "host", "discovery_rank",
@@ -250,8 +288,9 @@ class CrawlEngine:
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             F.lit(wave).alias("wave"),
         )
-        self.pages.append(new_pages, {"wave": wave})
-        n_pages = new_pages.count()
+        self.pages.append(new_pages, {"wave": wave},
+                          target_partitions=_npart(n_pages))
+        tick("pages_append")
 
         # ---- discovery stage
         n_new = 0
@@ -296,25 +335,32 @@ class CrawlEngine:
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
             new_links = anti_join_new(links, seen, bloom=self.bloom)
-            ranked, n_new = with_global_rank(
+            ranked, n_new, pinned = with_global_rank(
                 new_links, ["src_rank", "pos"], "wrank",
                 start=0,
             )
+            tick("dedup_rank")
             base = self._next_rank_base()
             new_frontier = ranked.select(
                 "url_hash", "url", "host", "depth",
                 F.lit(wave).alias("wave_discovered"),
                 (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
             )
-            self.frontier.append(
+            manifest = self.frontier.append(
                 new_frontier,
                 {"wave": wave,
                  "max_rank": base + n_new - 1 if n_new > 0 else None},
+                target_partitions=_npart(n_new),
             )
+            tick("frontier_append")
+            delta = self.frontier.read_delta(self.spark, manifest)
             if self.bloom is not None and n_new > 0:
-                self.bloom.add_distributed(new_frontier)
+                self.bloom.add_distributed(delta)
                 self.bloom.save(self._bloom_path)
-            ranked.unpersist()
+            pinned.unpersist()
+            tick("bloom")
+            # lineage-free handoff to the next wave (see __init__ note)
+            self._fast_next = delta if not constrained else None
 
         # ---- visited commit (the wave's commit point)
         visited_rows = fetched.select(
@@ -323,19 +369,21 @@ class CrawlEngine:
             F.when(F.col("_gate"), F.lit("done")).otherwise(F.lit("skipped"))
             .alias("status"),
         )
-        self.visited.append(visited_rows, {"wave": wave})
+        self.visited.append(visited_rows, {"wave": wave},
+                            target_partitions=_npart(n_selected))
+        tick("visited_append")
 
         dt = time.time() - t0
         m = {
             "wave": wave, "selected": n_selected, "pages": int(n_pages),
             "new_links": int(n_new), "seconds": dt, "done": False,
         }
-        self.metrics.append(
-            self.spark.createDataFrame(
-                [(wave, n_selected, int(n_pages), int(n_new), float(dt))],
-                "wave int, selected long, pages long, new_links long, seconds double",
-            ),
-            {"wave": wave},
+        if cfg.profile:
+            m["phases"] = phases
+        # metrics rows are informational (recovery keys off `visited`);
+        # buffered driver-side, flushed once per run (flush_metrics)
+        self._metrics_buf.append(
+            (wave, n_selected, int(n_pages), int(n_new), float(dt))
         )
         scraped.unpersist()
         fetched.unpersist()
@@ -355,6 +403,7 @@ class CrawlEngine:
         """Crawl to frontier exhaustion. With ``resume=True`` the engine
         recovers from the last committed wave instead of seeding."""
         if resume:
+            self._fast_next = None  # recovery must re-derive via anti-join
             start_wave = self.recover() + 1
         else:
             self.seed(seeds=seeds, single_url=single_url)
@@ -369,7 +418,23 @@ class CrawlEngine:
             if m.get("done"):
                 break
             wave += 1
+        self.flush_metrics()
         return all_metrics
+
+    def flush_metrics(self) -> None:
+        if not self._metrics_buf:
+            return
+        last_wave = max(r[0] for r in self._metrics_buf)
+        self.metrics.append(
+            self.spark.createDataFrame(
+                self._metrics_buf,
+                "wave int, selected long, pages long, new_links long, "
+                "seconds double",
+            ),
+            {"wave": last_wave},
+            target_partitions=1,
+        )
+        self._metrics_buf = []
 
     # ---------------------------------------------------------------- outputs
 

@@ -193,6 +193,18 @@ def url_to_filename(url: str) -> str:
     return "".join(out).strip("_")
 
 
+def sanitize_filename(name: str) -> str:
+    """Keep alnum and '-_.', space -> '_', drop the rest
+    (reference utils.py:9-26). Driver-side: names output artifacts."""
+    out = []
+    for ch in str(name):
+        if ch == " ":
+            out.append("_")
+        elif ch.isalnum() or ch in "-_.":
+            out.append(ch)
+    return "".join(out)
+
+
 def url_dirname(url: str) -> str:
     """Drop the last path segment, ensure trailing '/'
     (reference utils.py:57-89; default base_url, cli.py:192-195)."""

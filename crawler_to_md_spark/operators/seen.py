@@ -82,6 +82,8 @@ class BloomSeenSet:
         self.m = bits_per_shard
         self.k = num_hashes
         self.shards = np.zeros((self.P, self.m // 8), dtype=np.uint8)
+        self._bc = None          # cached broadcast of current shard state
+        self._bc_dirty = True
 
     # -- build / update ------------------------------------------------------
 
@@ -113,13 +115,21 @@ class BloomSeenSet:
         )
         for row in blobs:
             self.shards[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
+        self._bc_dirty = True
 
     # -- probe ---------------------------------------------------------------
 
     def maybe_seen_udf(self, spark: SparkSession):
         """Vectorized membership probe as a pandas UDF over (hash) batches.
-        The shard array rides to executors via broadcast."""
-        bc = spark.sparkContext.broadcast(self.shards)
+        The shard array rides to executors via broadcast, re-broadcast only
+        when the filter state changed since the last probe (each broadcast
+        costs shard_bytes x workers in worker-side deserialization)."""
+        if self._bc_dirty or self._bc is None:
+            if self._bc is not None:
+                self._bc.unpersist()
+            self._bc = spark.sparkContext.broadcast(self.shards)
+            self._bc_dirty = False
+        bc = self._bc
         P, m, k = self.P, self.m, self.k
 
         @F.pandas_udf(T.BooleanType())
@@ -178,7 +188,9 @@ def anti_join_new(
     if bloom is None:
         return candidates.join(seen.select(*join_keys), join_keys, "left_anti")
     probe = bloom.maybe_seen_udf(candidates.sparkSession)
-    flagged = candidates.withColumn("_maybe_seen", probe(F.col(key)))
+    # persist the flagged stream: both branches below consume it, and the
+    # probe (an Arrow UDF pass) must run once, not once per branch
+    flagged = candidates.withColumn("_maybe_seen", probe(F.col(key))).persist()
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen.select(*join_keys), join_keys, "left_anti")

@@ -61,13 +61,15 @@ class SnapshotTable:
     def snapshots(self) -> list[dict]:
         return [self._manifest(v) for v in range(1, self.current_version() + 1)]
 
-    def _commit(self, files: list[str], summary: dict, schema_json: str) -> dict:
+    def _commit(self, files: list[str], summary: dict, schema_json: str,
+                delta_files: list[str] | None = None) -> dict:
         parent = self.current_version()
         version = parent + 1
         manifest = {
             "version": version,
             "parent": parent,
             "files": files,
+            "delta_files": delta_files if delta_files is not None else files,
             "summary": summary,
             "schema": schema_json,
         }
@@ -84,9 +86,12 @@ class SnapshotTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def _write_datafiles(self, df: DataFrame) -> tuple[list[str], str]:
+    def _write_datafiles(
+        self, df: DataFrame, target_partitions: int | None = None
+    ) -> tuple[list[str], str]:
         ddir = os.path.join(self.root, "data", f"snap-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(ddir)
+        out = df.coalesce(target_partitions) if target_partitions else df
+        out.write.mode("overwrite").parquet(ddir)
         files = [
             os.path.join(ddir, f)
             for f in os.listdir(ddir)
@@ -94,11 +99,26 @@ class SnapshotTable:
         ]
         return files, df.schema.json()
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> dict:
-        files, schema_json = self._write_datafiles(df)
+    def append(
+        self, df: DataFrame, summary: dict | None = None,
+        target_partitions: int | None = None,
+    ) -> dict:
+        files, schema_json = self._write_datafiles(df, target_partitions)
         cur = self.current_snapshot()
         all_files = (cur["files"] if cur else []) + files
-        return self._commit(all_files, summary or {}, schema_json)
+        return self._commit(all_files, summary or {}, schema_json,
+                            delta_files=files)
+
+    def read_delta(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        """Read only the datafiles a specific append introduced — a
+        lineage-free handle on that snapshot's delta."""
+        files = manifest.get("delta_files") or manifest["files"]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         files, schema_json = self._write_datafiles(df)

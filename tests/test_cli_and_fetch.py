@@ -1,0 +1,102 @@
+import json
+import os
+
+import pytest
+
+from crawler_to_md_spark.cli import main as cli_main
+from crawler_to_md_spark.crawl.corpus import synth_corpus
+from crawler_to_md_spark.functions.urls import sanitize_filename
+from crawler_to_md_spark.sources.http_fetch import HostRateLimiter, fetch_http
+
+
+def test_sanitize_filename():
+    # reference utils.py:9-26
+    assert sanitize_filename("My Page: v1.2!") == "My_Page_v1.2"
+    assert sanitize_filename("a/b\\c") == "abc"
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    synth_corpus(spark, n_pages=30, n_hosts=3, branching=3, seed=42) \
+        .write.parquet(corpus_path)
+    out = str(tmp_path / "out")
+    cache = str(tmp_path / "cache")
+    rc = cli_main([
+        "--url", "https://host0.example/p/0",
+        "--corpus", corpus_path,
+        "--output-folder", out,
+        "--cache-folder", cache,
+        "--base-url", "https://",          # permissive: all hosts
+        "--export-individual",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    files = os.listdir(out)
+    mds = [f for f in files if f.endswith(".md")]
+    jsons = [f for f in files if f.endswith(".json")]
+    assert mds and jsons
+    data = json.load(open(os.path.join(out, jsons[0])))
+    assert len(data) > 0 and all("url" in d and "content" in d for d in data)
+    assert os.path.isdir(os.path.join(out, "files"))
+    # re-run with same cache resumes (no error, same output)
+    rc2 = cli_main([
+        "--url", "https://host0.example/p/0",
+        "--corpus", corpus_path,
+        "--output-folder", out,
+        "--cache-folder", cache,
+        "--base-url", "https://",
+        "--master", "local[4]",
+    ])
+    assert rc2 == 0
+
+
+def test_cli_requires_seed_and_corpus(tmp_path):
+    assert cli_main(["--output-folder", str(tmp_path)]) == 2
+    assert cli_main(["--url", "https://x.example/"]) == 2
+
+
+def test_host_rate_limiter_paces():
+    import time
+
+    rl = HostRateLimiter(0.05)
+    t0 = time.monotonic()
+    for _ in range(3):
+        rl.wait("a.example")
+    assert time.monotonic() - t0 >= 0.09   # 2 enforced gaps
+    t0 = time.monotonic()
+    rl2 = HostRateLimiter(0.05)
+    for h in ["a", "b", "c"]:
+        rl2.wait(h)                        # distinct hosts: no pacing
+    assert time.monotonic() - t0 < 0.04
+
+
+def test_fetch_http_with_injected_fn(spark):
+    pages = {
+        "https://h0.x/p/0": (200, "text/html", "<html><body>ok</body></html>"),
+        "https://h0.x/p/1": (404, "text/html", "nope"),
+    }
+
+    def fake_fetch(url):
+        return pages.get(url, (-1, "", None))
+
+    pending = spark.createDataFrame(
+        [(1, "https://h0.x/p/0", "h0.x", 0, 0, 0),
+         (2, "https://h0.x/p/1", "h0.x", 0, 0, 1),
+         (3, "https://h0.x/p/404", "h0.x", 0, 0, 2)],
+        "url_hash long, url string, host string, depth int, "
+        "wave_discovered int, discovery_rank long",
+    )
+    rows = {r["url"]: r for r in fetch_http(pending, fetch_fn=fake_fetch).collect()}
+    assert rows["https://h0.x/p/0"]["status"] == 200
+    assert rows["https://h0.x/p/0"]["html"].startswith("<html>")
+    assert rows["https://h0.x/p/1"]["status"] == 404
+    assert rows["https://h0.x/p/404"]["status"] == -1
+    assert rows["https://h0.x/p/404"]["html"] is None
+
+
+@pytest.mark.parametrize("bad", ["http://127.0.0.1:1/nope"])
+def test_probe_proxy_unreachable(bad):
+    from crawler_to_md_spark.sources.http_fetch import probe_proxy
+
+    with pytest.raises(ValueError):
+        probe_proxy(bad, timeout_s=0.5)

@@ -118,8 +118,10 @@ def test_global_rank_dense_and_ordered(spark):
     df = spark.range(1000).select(
         (F.col("id") * 7919 % 1000).alias("key"), F.col("id").alias("payload")
     )
-    ranked = with_global_rank(df, ["key"], "rk", start=50)
+    ranked, total, pinned = with_global_rank(df, ["key"], "rk", start=50)
+    assert total == 1000
     rows = ranked.orderBy("rk").collect()
+    pinned.unpersist()
     assert [r["rk"] for r in rows] == list(range(50, 1050))
     keys = [r["key"] for r in rows]
     assert keys == sorted(keys)
