@@ -60,9 +60,10 @@ from ..tables import SnapshotTable
 _RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
 
 
-def _npart(n_rows: int, rows_per_file: int = 200_000, cap: int = 32) -> int:
-    """Write-side partition count: avoid the small-files explosion (every
-    wave append otherwise emits one file per shuffle partition)."""
+def _npart(n_rows: int, rows_per_file: int = 50_000, cap: int = 32) -> int:
+    """Write-side partition count: balances the small-files explosion
+    (one file per shuffle partition per wave) against write parallelism —
+    a too-low cap serializes the commit regardless of cluster size."""
     return max(1, min(cap, (n_rows + rows_per_file - 1) // rows_per_file))
 
 
