@@ -25,6 +25,13 @@ Semantics reproduced (SURVEY.md §8 checklist):
  7. INSERT OR IGNORE first-write-wins on both tables
     (database_manager.py:49,76).
  8. Seed-list mode skips discovery entirely (scraper.py:355-356).
+
+Pinned fetch-key contract: the corpus lookup keys on the EXACT stored URL
+string. A seed carrying a '#fragment' (never defragged, §8.3) therefore
+misses even when the fragment-less page exists — live `requests` would
+strip the fragment at the HTTP layer and fetch the page. Engine and
+simulator implement the same contract, so parity holds; swap in
+sources/http_fetch.py on a networked cluster for wire behavior.
 """
 
 from __future__ import annotations

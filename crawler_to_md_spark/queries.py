@@ -318,6 +318,197 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Wider relational surface: rollup, running windows, as-of, pivot, argmax
+# ---------------------------------------------------------------------------
+
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation with grouping indicators (subtotal hierarchy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .alias("gid"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def running_user_value(spark, sf_dir):
+    """Per-user running total (cumulative window) — streaming-state shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS running_value
+FROM events
+"""
+
+
+def asof_last_purchase(spark, sf_dir):
+    """As-of join expressed as an IGNORE NULLS last_value window: for each
+    event, the most recent prior-or-current 'purchase' event of that user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return ev.select(
+        "event_id",
+        F.last(purchase_id, ignorenulls=True).over(w).alias("last_purchase_id"),
+    )
+
+
+ASOF_SQL = """
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_id
+FROM events
+"""
+
+
+def supplier_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+SUPPLIER_DISTINCT_SQL = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def orders_status_pivot(spark, sf_dir):
+    """Pivot: order counts per priority x status (statuses P/O/F)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def top_part_per_nation(spark, sf_dir):
+    """Argmax: highest-revenue part per supplier nation (struct-max)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("rev"))
+    )
+    return (
+        rev.groupBy("n_name")
+        .agg(F.max(F.struct("rev", "l_partkey")).alias("m"))
+        .select("n_name", F.col("m.l_partkey").alias("top_partkey"),
+                F.col("m.rev").alias("revenue"))
+    )
+
+
+TOP_PART_SQL = """
+WITH rev AS (
+  SELECT n_name, l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+)
+SELECT n_name, l_partkey AS top_partkey, rev AS revenue FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY rev DESC, l_partkey DESC) rn
+  FROM rev
+) WHERE rn = 1
+"""
+
+
+def events_value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT floor(value / 50)::BIGINT AS bucket, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def customer_segment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-pipeline text/dedup/similarity operators
 # ---------------------------------------------------------------------------
 
@@ -601,6 +792,14 @@ QUERIES = {
     "docs_by_source": docs_by_source,
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
+    "rollup_revenue": rollup_revenue,
+    "running_user_value": running_user_value,
+    "asof_last_purchase": asof_last_purchase,
+    "supplier_distinct_parts": supplier_distinct_parts,
+    "orders_status_pivot": orders_status_pivot,
+    "top_part_per_nation": top_part_per_nation,
+    "events_value_histogram": events_value_histogram,
+    "customer_segment_stats": customer_segment_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "token_stats": token_stats,
     "quality_per_doc": quality_per_doc,
@@ -625,6 +824,14 @@ ORACLES = {
     "docs_by_source": DOCS_BY_SOURCE_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "running_user_value": RUNNING_SQL,
+    "asof_last_purchase": ASOF_SQL,
+    "supplier_distinct_parts": SUPPLIER_DISTINCT_SQL,
+    "orders_status_pivot": PIVOT_SQL,
+    "top_part_per_nation": TOP_PART_SQL,
+    "events_value_histogram": HISTOGRAM_SQL,
+    "customer_segment_stats": SEGMENT_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "quality_per_doc": QUALITY_SQL,
