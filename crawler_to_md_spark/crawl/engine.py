@@ -45,13 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.html import make_scrape_udf
-from ..functions.urls import (
-    defrag,
-    host_of,
-    resolve_href,
-    url_hash,
-    valid_link_expr,
-)
+from ..functions.urls import defrag, host_of, url_hash, valid_link_expr
 from ..operators.politeness import apply_global_budget, apply_host_quota, robots_gate
 from ..operators.rank import with_global_rank
 from ..operators.seen import BloomSeenSet, anti_join_new
