@@ -24,7 +24,7 @@ Same seed => byte-identical output (generators are pure).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,8 +161,10 @@ def synth_corpus(
     seed: int = 42,
 ) -> DataFrame:
     rows = synth_corpus_rows(n_pages, n_hosts, branching, seed)
-    pdf = pd.DataFrame(rows, columns=CORPUS_COLUMNS)
-    return spark.createDataFrame(pdf, schema=_CORPUS_SCHEMA)
+    # tuples, NOT a pandas frame: pandas coerces a nullable int64 column
+    # (phash) to float64, silently destroying values above 2^53
+    data = [tuple(r[c] for c in CORPUS_COLUMNS) for r in rows]
+    return spark.createDataFrame(data, schema=_CORPUS_SCHEMA)
 
 
 def synth_corpus_distributed(
@@ -258,9 +260,13 @@ def synth_images_table(
                 caption=_caption(rng), phash=phash,
             )
         )
-    pdf = pd.DataFrame(rows)
+    data = [
+        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"],
+         r["phash"])
+        for r in rows
+    ]
     return spark.createDataFrame(
-        pdf,
+        data,
         schema="image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )

@@ -768,6 +768,28 @@ def crawl_links(spark, sf_dir):
     return out
 
 
+def image_invariants(spark, sf_dir):
+    """input_hint table -> per-image invariant report (decode dims, phash
+    of decoded pixels, lossy-round-trip PSNR>=40dB). Binary decode is not
+    SQL-expressible -> rows-only; invariants asserted in
+    tests/test_image_crawl.py and tests/test_multimodal.py."""
+    from .crawl.corpus import synth_images_table
+    from .operators.multimodal import verify_invariants
+
+    images = synth_images_table(spark, n_images=120, seed=42)
+    return verify_invariants(images)
+
+
+def image_feature_extract(spark, sf_dir):
+    """Decode + feature-extract over the input_hint table (multimodal
+    mapInPandas plumbing). Rows-only."""
+    from .crawl.corpus import synth_images_table
+    from .operators.multimodal import image_features
+
+    images = synth_images_table(spark, n_images=120, seed=42)
+    return image_features(images)
+
+
 def minhash_pairs_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32)
@@ -810,6 +832,8 @@ QUERIES = {
     "embedding_pairs": embedding_pairs,
     "crawl_pages": crawl_pages,
     "crawl_links": crawl_links,
+    "image_invariants": image_invariants,
+    "image_feature_extract": image_feature_extract,
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_docs": simhash_docs,
 }
