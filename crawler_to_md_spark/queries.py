@@ -259,7 +259,7 @@ def docs_by_source(spark, sf_dir):
 
 
 DOCS_BY_SOURCE_SQL = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source
 """
@@ -283,7 +283,7 @@ def events_sessionize(spark, sf_dir):
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, sum(_new) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(_new)::BIGINT AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
@@ -429,9 +429,9 @@ def orders_status_pivot(spark, sf_dir):
 
 PIVOT_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -546,7 +546,7 @@ def token_stats(spark, sf_dir):
 
 
 TOKEN_STATS_SQL = f"""
-SELECT lang, count(*) AS n_docs, sum(nt) AS total_tokens,
+SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
        round(avg(nt), 4) AS avg_tokens
 FROM (SELECT lang, {_NTOK_SQL} AS nt FROM documents)
 GROUP BY lang

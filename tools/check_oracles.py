@@ -49,7 +49,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
@@ -59,11 +60,29 @@ def main():
             continue
         try:
             rel = con.sql(ORACLES[name])
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            dpdf = rel.df()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
+            continue
+        # Typed comparison: the driver's value hash is dtype-sensitive
+        # (DuckDB HUGEINT vs Spark BIGINT mismatched 4 queries in r1).
+        def _kind(dt):
+            # Width-insensitive: the driver's hash tolerates int32 vs int64
+            # (r1 evidence) but not int vs float (HUGEINT -> float64 in
+            # pandas) or int vs object.
+            k = dt.kind
+            return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                    "M": "ts", "O": "obj"}.get(k, k)
+
+        sdt = {c: _kind(spdf[c].dtype) for c in scols}
+        ddt = {c: _kind(dpdf[c].dtype) for c in dcols}
+        if sorted(scols) == sorted(dcols) and sdt != ddt:
+            bad = {c: (sdt[c], ddt[c]) for c in sdt if sdt[c] != ddt.get(c)}
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch (spark, duckdb): {bad}")
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
