@@ -25,7 +25,8 @@ import shutil
 import sys
 
 from .crawl.engine import CrawlConfig, CrawlEngine
-from .functions.urls import url_dirname, url_to_filename
+from .functions.urls import sanitize_filename, url_dirname, url_to_filename
+from .log_setup import setup_logging
 from .operators.export import (
     export_individual_markdown,
     export_json,
@@ -86,13 +87,24 @@ def read_seed_list(path: str) -> list[str]:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-    if not args.url and not args.urls_file:
-        print("error: one of --url / --urls-file is required", file=sys.stderr)
-        return 2
+    parser = build_parser()
+    try:  # shell completion hook (reference cli.py:143-148)
+        import argcomplete
+
+        argcomplete.autocomplete(parser)
+    except ImportError:
+        pass
+    args = parser.parse_args(argv)
+    logger = setup_logging()  # level from LOG_LEVEL env (reference cli.py:12-13)
 
     seeds = read_seed_list(args.urls_file) if args.urls_file else None
-    first = args.url or (seeds[0] if seeds else None)
+    if not args.url and not seeds:
+        # reference: parser.error("No URL provided...") — also catches an
+        # EMPTY --urls-file (cli.py:175-176)
+        print("error: No URL provided. Please provide either --url or "
+              "--urls-file.", file=sys.stderr)
+        return 2
+    first = args.url or seeds[0]
     base_url = args.base_url
     if base_url is None and args.url:
         base_url = url_dirname(args.url)  # cli.py:192-195
@@ -111,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
         probe_proxy(args.proxy)  # scraper.py:70-80 precondition
 
     spark = get_spark("crawler-to-md-spark", master=args.master)
+    fetch_fn = None
+    if args.live:
+        from .sources.http_fetch import default_fetch_fn
+
+        fetch_fn = default_fetch_fn(proxy=args.proxy)
     cfg = CrawlConfig(
         base_url=base_url,
         include_patterns=args.include_url,
@@ -120,36 +137,64 @@ def main(argv: list[str] | None = None) -> int:
         seed_list_mode=seeds is not None,  # scraper.py:355-356 (C2)
         global_budget=args.rate_limit or None,
         per_host_budget=args.per_host_budget,
+        fetch_fn=fetch_fn,
+        min_interval_s=args.delay,
     )
     engine = CrawlEngine(spark, store, cfg)
 
     if args.live:
-        raise NotImplementedError(
-            "live HTTP crawling requires a networked cluster; wire "
-            "sources.http_fetch.fetch_http into run_wave's fetch stage"
+        corpus = None  # fetch stage = sources/http_fetch.fetch_http
+    else:
+        if not args.corpus:
+            print("error: --corpus required (no network in this environment)",
+                  file=sys.stderr)
+            return 2
+        corpus = spark.read.parquet(args.corpus)
+
+    # progress: total/visited from manifest summaries (no Spark jobs) —
+    # the reference's tqdm bar starts at the RESUME OFFSET
+    # (scraper.py:278-283: initial=get_visited_links_count())
+    total0, visited0 = engine.progress_counts()
+    prog = {"total": total0, "visited": visited0}
+    if resume:
+        logger.info("resuming: %d/%d links already visited",
+                    prog["visited"], prog["total"])
+
+    def on_wave(m: dict) -> None:
+        if "seeded" in m:  # wave-0 seeding: update the total, no line
+            prog["total"] += m["seeded"]
+            return
+        if m.get("done"):
+            return
+        prog["visited"] += m["selected"]
+        prog["total"] += m["new_links"]
+        print(
+            f"Scraping: {prog['visited']}/{prog['total']} links "
+            f"(wave {m['wave']}: {m['pages']} pages, "
+            f"{m['new_links']} new links, {m['seconds']:.1f}s)",
+            file=sys.stderr,
         )
-    if not args.corpus:
-        print("error: --corpus required (no network in this environment)",
-              file=sys.stderr)
-        return 2
-    corpus = spark.read.parquet(args.corpus)
 
     # a seed LIST takes precedence; --url seeds only when no list is given
     # (reference scraper.py:258-272: the `elif url:` branch)
     engine.run(corpus, seeds=seeds,
-               single_url=args.url if seeds is None else None, resume=resume)
+               single_url=args.url if seeds is None else None, resume=resume,
+               on_wave=on_wave)
 
-    os.makedirs(args.output_folder, exist_ok=True)
+    # output layout = reference contract (cli.py:179-181, 236-257):
+    # {output_folder}/{url_to_filename(first)}/{sanitize_filename(title)}.md
+    out_dir = os.path.join(args.output_folder, url_to_filename(first))
+    os.makedirs(out_dir, exist_ok=True)
+    output_name = sanitize_filename(title)
     pages = engine.pages_df()
-    out_base = os.path.join(args.output_folder, url_to_filename(first))
     if not args.no_markdown:
-        export_markdown(pages, title, out_base + ".md")
+        export_markdown(pages, title, os.path.join(out_dir, output_name + ".md"))
     if not args.no_json:
-        export_json(pages, out_base + ".json")
+        export_json(pages, os.path.join(out_dir, output_name + ".json"))
     if args.export_individual:
-        export_individual_markdown(pages, args.output_folder, base_url)
+        export_individual_markdown(pages, out_dir, base_url)
     n_pages = pages.count()
-    print(f"crawled {n_pages} pages -> {args.output_folder}")
+    print(f"crawled {n_pages} pages -> {out_dir}")
     return 0
 
 

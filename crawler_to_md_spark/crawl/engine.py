@@ -56,8 +56,9 @@ _RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
 
 def _npart(n_rows: int, rows_per_file: int = 50_000, cap: int = 32) -> int:
     """Write-side partition count: balances the small-files explosion
-    (one file per shuffle partition per wave) against write parallelism —
-    a too-low cap serializes the commit regardless of cluster size."""
+    (one file per shuffle partition per wave) against write parallelism.
+    ``cap`` tracks cluster size (defaultParallelism) — a hard-coded cap
+    would serialize the commit on a 1000-executor cluster."""
     return max(1, min(cap, (n_rows + rows_per_file - 1) // rows_per_file))
 
 
@@ -71,6 +72,11 @@ class CrawlConfig:
     seed_list_mode: bool = False          # C2: skip discovery entirely
     per_host_budget: int | None = None    # politeness quota per wave
     global_budget: int | None = None      # reference rate_limit parity knob
+    # live-fetch mode: when the engine is run with corpus=None, the fetch
+    # stage is sources.http_fetch.fetch_http (mapInPandas HTTP GET) using
+    # this fetch_fn (None => requests-backed default) and per-host pacing
+    fetch_fn: object | None = None
+    min_interval_s: float = 0.0           # reference --delay (scraper.py:302-321)
     max_waves: int | None = None
     use_bloom: bool = True
     bloom_shards: int = 16
@@ -96,9 +102,14 @@ class CrawlEngine:
         # (a lineage-free parquet read; holding the DataFrame itself would
         # chain every wave's plan into the next and blow up analysis time).
         # Falls back to the exact anti-join whenever constraints are
-        # configured or on resume.
+        # configured or on resume. _fast_next_count carries the delta's
+        # row count (known driver-side from the append's parquet footers /
+        # rank totals) so the next wave never runs a count() job.
         self._fast_next: DataFrame | None = None
+        self._fast_next_count: int | None = None
         self._metrics_buf: list[tuple] = []
+        # write-side partition cap tracks cluster size (VERDICT r1 #7)
+        self._wcap = max(1, spark.sparkContext.defaultParallelism)
         self.bloom: BloomSeenSet | None = None
         if self.cfg.use_bloom:
             if os.path.exists(self._bloom_path):
@@ -140,7 +151,10 @@ class CrawlEngine:
             F.lit(0).alias("wave_discovered"),
             F.col("pos").alias("discovery_rank"),
         ).persist()
-        max_rank = seeded.agg(F.max("discovery_rank")).collect()[0][0]
+        stats = seeded.agg(
+            F.max("discovery_rank").alias("m"), F.count("*").alias("c")
+        ).collect()[0]
+        max_rank, n_seeds = stats["m"], int(stats["c"])
         manifest = self.frontier.append(
             seeded,
             {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)},
@@ -156,6 +170,57 @@ class CrawlEngine:
             self.bloom.save(self._bloom_path)
         seeded.unpersist()
         self._fast_next = self.frontier.read_delta(self.spark, manifest)
+        self._fast_next_count = n_seeds
+
+    def seed_if_new(self, seeds: list[str] | None = None,
+                    single_url: str | None = None) -> int:
+        """Resume-path seeding (reference scraper.py:258-272 re-runs the
+        validated INSERT OR IGNORE every run): anti-join the seed list
+        against the existing frontier and append only the new ones, ranked
+        after everything discovered so far. Returns the number inserted."""
+        rows = []
+        seen: set[str] = set()
+        for s in seeds or []:
+            if s not in seen:
+                seen.add(s)
+                rows.append((s, len(rows), True))
+        if single_url is not None and single_url not in seen:
+            rows.append((single_url, len(rows), False))
+        if not rows:
+            return 0
+        df = self.spark.createDataFrame(
+            rows, "url string, pos long, needs_validation boolean"
+        )
+        valid = valid_link_expr(
+            F.col("url"), self.cfg.base_url,
+            self.cfg.include_patterns, self.cfg.exclude_patterns,
+        )
+        base = self._next_rank_base()
+        cand = df.filter(~F.col("needs_validation") | valid).select(
+            url_hash(F.col("url")).alias("url_hash"),
+            F.col("url"),
+            host_of(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("wave_discovered"),
+            (F.col("pos") + F.lit(base)).alias("discovery_rank"),
+        )
+        existing = self.frontier.read(self.spark).select("url_hash", "url")
+        new = anti_join_new(cand, existing, bloom=self.bloom).persist()
+        stats = new.agg(
+            F.max("discovery_rank").alias("m"), F.count("*").alias("c")
+        ).collect()[0]
+        n_new = int(stats["c"])
+        if n_new > 0:
+            self.frontier.append(
+                new, {"wave": self.last_committed_wave(), "kind": "seeds",
+                      "max_rank": int(stats["m"])},
+                target_partitions=1,
+            )
+            if self.bloom is not None:
+                self.bloom.add_distributed(new)
+                self.bloom.save(self._bloom_path)
+        new.unpersist()
+        return n_new
 
     # --------------------------------------------------------------- recovery
 
@@ -227,8 +292,18 @@ class CrawlEngine:
             or cfg.per_host_budget is not None
             or cfg.global_budget is not None
         )
-        if self._fast_next is not None and not constrained:
-            pending = self._fast_next.persist()
+        fast = self._fast_next_count is not None and not constrained
+        pending_cached = False
+        if fast:
+            # n_selected is KNOWN driver-side (last wave's rank total /
+            # seed append footers) — no count() job, no persist: the delta
+            # parquet read feeds straight into the (persisted) fetch stage
+            n_selected = self._fast_next_count
+            if n_selected == 0:
+                self._fast_next = None
+                self._fast_next_count = None
+                return {"wave": wave, "fetched": 0, "done": True}
+            pending = self._fast_next
         else:
             pending = self.pending()
             if robots_rules is not None:
@@ -242,18 +317,40 @@ class CrawlEngine:
             if cfg.global_budget is not None:
                 pending = apply_global_budget(pending, cfg.global_budget)
             pending = pending.persist()
+            pending_cached = True
+            n_selected = pending.count()
         self._fast_next = None
-        n_selected = pending.count()
+        self._fast_next_count = None
         tick("select")
         if n_selected == 0:
             pending.unpersist()
             return {"wave": wave, "fetched": 0, "done": True}
 
-        # ---- fetch stage (corpus join stands in for HTTP GET; see corpus.py)
-        corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
-        fetched = pending.join(
-            corpus_k, pending["url"] == corpus_k["c_url"], "left"
-        ).drop("c_url")
+        # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
+        # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
+        if corpus is not None:
+            corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
+            fetched = pending.join(
+                corpus_k, pending["url"] == corpus_k["c_url"], "left"
+            ).drop("c_url")
+        else:
+            from ..sources.http_fetch import fetch_http
+
+            fetched = fetch_http(
+                pending, fetch_fn=cfg.fetch_fn,
+                min_interval_s=cfg.min_interval_s,
+            )
+            # live fetch carries no image payload (the reference fetches
+            # HTML only — scraper.py:327); pages keep the corpus schema
+            fetched = (
+                fetched.withColumn("image_id", F.lit(None).cast("string"))
+                .withColumn("bytes", F.lit(None).cast("binary"))
+                .withColumn("w", F.lit(None).cast("int"))
+                .withColumn("h", F.lit(None).cast("int"))
+                .withColumn("fmt", F.lit(None).cast("string"))
+                .withColumn("caption", F.lit(None).cast("string"))
+                .withColumn("phash", F.lit(None).cast("long"))
+            )
 
         ok = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
         fetched = fetched.withColumn(
@@ -271,24 +368,14 @@ class CrawlEngine:
             .withColumn("_s", scrape(F.col("html"), F.col("url")))
             .persist()
         )
-        n_pages = scraped.count()  # materializes the cache in parallel, so
-        tick("fetch_scrape")       # coalesced writes below read cache only
 
-        new_pages = scraped.select(
-            "url_hash", "url", "host", "discovery_rank",
-            F.col("_s.content").alias("content"),
-            F.create_map(F.lit("title"), F.col("_s.title")).alias("metadata"),
-            F.col("_s.caption").alias("page_caption"),
-            F.col("_s.image_id").alias("page_image_id"),
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            F.lit(wave).alias("wave"),
-        )
-        self.pages.append(new_pages, {"wave": wave},
-                          target_partitions=_npart(n_pages))
-        tick("pages_append")
-
-        # ---- discovery stage
+        # ---- discovery stage FIRST: the rank offset job is the wave's one
+        # materializing pass — it fills the fetched+scraped caches with full
+        # input parallelism, so the coalesced appends below only read cache.
+        # (Running pages.append first would run the scrape UDF inside the
+        # coalesced write tasks, collapsing parallelism.)
         n_new = 0
+        ranked = pinned = None
         if not cfg.seed_list_mode:
             links = (
                 scraped.select(
@@ -335,27 +422,62 @@ class CrawlEngine:
                 start=0,
             )
             tick("dedup_rank")
-            base = self._next_rank_base()
-            new_frontier = ranked.select(
-                "url_hash", "url", "host", "depth",
-                F.lit(wave).alias("wave_discovered"),
-                (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
-            )
-            manifest = self.frontier.append(
-                new_frontier,
-                {"wave": wave,
-                 "max_rank": base + n_new - 1 if n_new > 0 else None},
-                target_partitions=_npart(n_new),
-            )
-            tick("frontier_append")
-            delta = self.frontier.read_delta(self.spark, manifest)
-            if self.bloom is not None and n_new > 0:
-                self.bloom.add_distributed(delta)
-                self.bloom.save(self._bloom_path)
+
+        if cfg.seed_list_mode:
+            # no rank job to materialize the caches — run the scrape UDF
+            # with full parallelism before the coalesced write reads it
+            scraped.count()
+            tick("scrape")
+
+        # ---- pages append (reads the scraped cache; row count comes back
+        # from the append's parquet footers — no count() job)
+        new_pages = scraped.select(
+            "url_hash", "url", "host", "discovery_rank",
+            F.col("_s.content").alias("content"),
+            F.create_map(F.lit("title"), F.col("_s.title")).alias("metadata"),
+            F.col("_s.caption").alias("page_caption"),
+            F.col("_s.image_id").alias("page_image_id"),
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            F.lit(wave).alias("wave"),
+        )
+        pmanifest = self.pages.append(
+            new_pages, {"wave": wave},
+            target_partitions=_npart(n_selected, cap=self._wcap),
+        )
+        n_pages = int(pmanifest["summary"]["rows"])
+        tick("pages_append")
+
+        if not cfg.seed_list_mode:
+            if n_new > 0:
+                base = self._next_rank_base()
+                new_frontier = ranked.select(
+                    "url_hash", "url", "host", "depth",
+                    F.lit(wave).alias("wave_discovered"),
+                    (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
+                )
+                manifest = self.frontier.append(
+                    new_frontier,
+                    {"wave": wave, "max_rank": base + n_new - 1},
+                    target_partitions=_npart(n_new, cap=self._wcap),
+                )
+                tick("frontier_append")
+                if self.bloom is not None:
+                    # bloom delta from the rank's pinned CACHE (same rows
+                    # as the append) — not a re-read of the delta files
+                    self.bloom.add_distributed(pinned)
+                    self.bloom.save(self._bloom_path)
+                tick("bloom")
+                if not constrained:
+                    # lineage-free handoff to the next wave (__init__ note)
+                    self._fast_next = self.frontier.read_delta(
+                        self.spark, manifest
+                    )
+                    self._fast_next_count = n_new
+            elif not constrained:
+                # nothing discovered: next wave terminates with zero jobs
+                self._fast_next = None
+                self._fast_next_count = 0
             pinned.unpersist()
-            tick("bloom")
-            # lineage-free handoff to the next wave (see __init__ note)
-            self._fast_next = delta if not constrained else None
 
         # ---- visited commit (the wave's commit point)
         visited_rows = fetched.select(
@@ -365,7 +487,7 @@ class CrawlEngine:
             .alias("status"),
         )
         self.visited.append(visited_rows, {"wave": wave},
-                            target_partitions=_npart(n_selected))
+                            target_partitions=_npart(n_selected, cap=self._wcap))
         tick("visited_append")
 
         dt = time.time() - t0
@@ -382,26 +504,44 @@ class CrawlEngine:
         )
         scraped.unpersist()
         fetched.unpersist()
-        pending.unpersist()
+        if pending_cached:
+            pending.unpersist()
         return m
 
     # -------------------------------------------------------------------- run
 
     def run(
         self,
-        corpus: DataFrame,
+        corpus: DataFrame | None,
         seeds: list[str] | None = None,
         single_url: str | None = None,
         robots_rules: DataFrame | None = None,
         resume: bool = False,
+        on_wave=None,
     ) -> list[dict]:
         """Crawl to frontier exhaustion. With ``resume=True`` the engine
-        recovers from the last committed wave instead of seeding."""
+        recovers from the last committed wave instead of seeding.
+        ``corpus=None`` switches the fetch stage to live HTTP
+        (sources/http_fetch.py). ``on_wave``, if given, is called with each
+        wave's metrics dict (CLI progress reporting)."""
+        if robots_rules is not None and robots_rules.isEmpty():
+            robots_rules = None  # ONE emptiness job per run, not per wave
         if resume:
             self._fast_next = None  # recovery must re-derive via anti-join
+            self._fast_next_count = None
             start_wave = self.recover() + 1
+            # reference parity: every run re-validates + INSERT-OR-IGNOREs
+            # the seed list into the existing store (scraper.py:258-272),
+            # so URLs newly added to --urls-file get crawled on resume
+            if seeds or single_url is not None:
+                self.seed_if_new(seeds=seeds, single_url=single_url)
         else:
             self.seed(seeds=seeds, single_url=single_url)
+            if on_wave is not None:
+                # progress accounting: seeds enter the link total (the
+                # reference pbar counts them — get_links_count)
+                on_wave({"wave": 0, "seeded": self._fast_next_count or 0,
+                         "done": False})
             start_wave = 1
         all_metrics: list[dict] = []
         wave = start_wave
@@ -410,6 +550,8 @@ class CrawlEngine:
                 break
             m = self.run_wave(wave, corpus, robots_rules)
             all_metrics.append(m)
+            if on_wave is not None:
+                on_wave(m)
             if m.get("done"):
                 break
             wave += 1
@@ -432,6 +574,17 @@ class CrawlEngine:
         self._metrics_buf = []
 
     # ---------------------------------------------------------------- outputs
+
+    def progress_counts(self) -> tuple[int, int]:
+        """(total_links, visited_links) from manifest row counts — the
+        reference progress bar's total/initial (scraper.py:278-283),
+        driver-side with zero Spark jobs."""
+        def _total(tbl: SnapshotTable) -> int:
+            if not tbl.exists():
+                return 0
+            return sum(int(s["summary"].get("rows") or 0)
+                       for s in tbl.snapshots())
+        return _total(self.frontier), _total(self.visited)
 
     def links_state(self) -> DataFrame:
         """The reference's links table: (url, visited) with deterministic

@@ -75,21 +75,64 @@ def extract_image_id(html: str) -> str | None:
     return m.group(1) if m else None
 
 
-def _block_pattern(selector: str) -> re.Pattern:
-    """Compile a selector ('#id' | '.class' | 'tag') into a block regex for
-    the generator's flat (non-nested) element dialect."""
+def _open_pattern(selector: str) -> re.Pattern:
+    """Opening-tag pattern for a selector ('#id' | '.class' | 'tag');
+    group(1) captures the tag name for close-tag balancing."""
     if selector.startswith("#"):
         ident = re.escape(selector[1:])
         return re.compile(
-            rf"<(\w+)[^>]*\sid=\"{ident}\"[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+            rf"<(\w+)[^>]*\sid=\"{ident}\"[^>]*>", re.IGNORECASE
         )
     if selector.startswith("."):
         cls = re.escape(selector[1:])
         return re.compile(
-            rf"<(\w+)[^>]*\sclass=\"{cls}\"[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+            rf"<(\w+)[^>]*\sclass=\"{cls}\"[^>]*>", re.IGNORECASE
         )
     tag = re.escape(selector)
-    return re.compile(rf"<({tag})[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+    return re.compile(rf"<({tag})(?=[\s>])[^>]*>", re.IGNORECASE)
+
+
+def find_blocks(doc: str, selector: str) -> list[tuple[int, int]]:
+    """(start, end) spans of elements matching the selector, balancing
+    NESTED same-tag elements by open/close depth counting — the semantics
+    the reference gets from bs4's DOM (scraper.py:92-98: soup.find /
+    find_all, which also return nested matches individually).
+
+    Self-closing openers (<tag .../>), and elements whose close tag never
+    appears, yield no span (bs4 would auto-close at document end; our
+    dialect always closes its block tags)."""
+    spans: list[tuple[int, int]] = []
+    for m in _open_pattern(selector).finditer(doc):
+        if m.group(0).endswith("/>"):
+            continue
+        tag = re.escape(m.group(1))
+        oc = re.compile(rf"<{tag}(?=[\s>/])[^>]*>|</{tag}\s*>", re.IGNORECASE)
+        depth = 1
+        for t in oc.finditer(doc, m.end()):
+            tok = t.group(0)
+            if tok.startswith("</"):
+                depth -= 1
+                if depth == 0:
+                    spans.append((m.start(), t.end()))
+                    break
+            elif not tok.endswith("/>"):
+                depth += 1
+    return spans
+
+
+def _remove_spans(doc: str, spans: list[tuple[int, int]]) -> str:
+    """Delete spans (overlaps merged — removing an outer block subsumes
+    its nested matches, like decomposing a bs4 parent)."""
+    out: list[str] = []
+    last = 0
+    for s, e in sorted(spans):
+        if s >= last:
+            out.append(doc[last:s])
+            last = e
+        elif e > last:
+            last = e
+    out.append(doc[last:])
+    return "".join(out)
 
 
 def filter_html(
@@ -100,21 +143,23 @@ def filter_html(
     """Include-projection then exclude-pruning (scraper.py:194-215).
 
     Include: concatenate matched blocks in selector-then-document order;
-    '#id' keeps only the first match (reference soup.find semantics).
+    '#id' keeps only the first match (reference soup.find semantics);
+    '.class'/'tag' keep every match including nested ones (reference
+    find_all appends each element separately, scraper.py:205-211).
     Exclude: remove matching blocks from the (possibly projected) doc.
     """
     doc = html or ""
     if include_selectors:
         parts: list[str] = []
         for sel in include_selectors:
-            matches = [m.group(0) for m in _block_pattern(sel).finditer(doc)]
+            spans = find_blocks(doc, sel)
             if sel.startswith("#"):
-                matches = matches[:1]
-            parts.extend(matches)
+                spans = spans[:1]
+            parts.extend(doc[s:e] for s, e in spans)
         doc = "\n".join(parts)
     if exclude_selectors:
         for sel in exclude_selectors:
-            doc = _block_pattern(sel).sub("", doc)
+            doc = _remove_spans(doc, find_blocks(doc, sel))
     return doc
 
 

@@ -113,12 +113,19 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Plan: signature -> band slices -> bucket hash -> self-join per bucket
-    (candidates only) -> exact Jaccard on shingle sets -> threshold.
+    on (band, bucket, id) ONLY -> dedupe candidate id-pairs -> join the
+    shingle sets back BY ID for the exact Jaccard verify.
+
+    The band explode and bucket self-join carry just (band, bucket, id) —
+    never the shingle arrays. A banded join that carries payloads shuffles
+    each doc's full shingle set ``bands`` times and again through the pair
+    dedup; keying the verify join by id moves each shingle set at most
+    twice, independent of ``bands`` (r1 bench: 15.5s -> this shape).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed).persist()
     banded = sigs.select(
-        "id", "shingles",
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -140,25 +147,33 @@ def minhash_lsh_pairs(
         sizes.filter(F.col("count") <= max_bucket).select("band", "bucket"),
         ["band", "bucket"],
     )
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"),
-                         F.col("shingles").alias("sh_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"),
-                          F.col("shingles").alias("sh_b"))
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shing = sigs.select("id", "shingles")
+    pairs = (
+        cand.join(shing.select(F.col("id").alias("id_a"),
+                               F.col("shingles").alias("sh_a")), "id_a")
+        .join(shing.select(F.col("id").alias("id_b"),
+                           F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    out = (
-        cand.withColumn("jaccard", inter / union)
+    # sigs stays MARKED persisted: the returned plan is lazy, and the
+    # signature UDF pass feeds three scans (banding + both verify joins).
+    # An eager unpersist here would drop the mark before the first action
+    # and recompute the UDF per scan; the cache is small (ids + shingles +
+    # sigs) and LRU-evicted.
+    return (
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    sigs.unpersist()
-    return out
 
 
 def exact_jaccard_pairs(
@@ -245,7 +260,9 @@ def simhash_neardup_pairs(
                       F.col("simhash").alias("h_a"))
     b = banded.select("band", "key", F.col("id").alias("id_b"),
                       F.col("simhash").alias("h_b"))
-    out = (
+    # fp stays MARKED persisted (lazy plan, two scans) — see
+    # minhash_lsh_pairs for why an eager unpersist would recompute the UDF
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -253,8 +270,6 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    fp.unpersist()
-    return out
 
 
 def embedding_neardup_pairs(

@@ -137,17 +137,16 @@ def verify_invariants(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
 def frame_sample(video_like: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video-shaped rows (video_id,
     frames: array<binary>): keep every n-th frame, explode to
-    (video_id, frame_idx, bytes). Pure column ops — array slicing is
-    JVM-side; the decode of sampled frames then uses image_features."""
-    return video_like.select(
-        "video_id",
-        F.posexplode(
-            F.filter(
-                F.transform(
-                    F.col("frames"),
-                    lambda fr, i: F.when((i % every_n) == 0, fr),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("frame_idx", "bytes"),
+    (video_id, frame_idx, bytes). Pure column ops — array ops are
+    JVM-side; the decode of sampled frames then uses image_features.
+
+    frame_idx is the ORIGINAL frame position (posexplode first, then
+    filter on pos % n), not the index within the sampled subset — the
+    temporal position the column name implies."""
+    return (
+        video_like.select(
+            "video_id",
+            F.posexplode(F.col("frames")).alias("frame_idx", "bytes"),
+        )
+        .filter((F.col("frame_idx") % every_n) == 0)
     )

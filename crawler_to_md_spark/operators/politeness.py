@@ -93,7 +93,11 @@ def robots_gate(
     ``rules``: (host string, disallow_prefix string) — small, broadcast.
     None/empty => default-permissive (reference has no robots handling).
     """
-    if rules is None or rules.isEmpty():
+    # NOTE: no rules.isEmpty() probe — that is a Spark job, and this gate
+    # runs once per wave. Callers pass None when there are no rules
+    # (CrawlEngine.run normalizes empty->None once per run); an empty
+    # rules table still short-circuits correctly below (empty blocked set).
+    if rules is None:
         return pending
     path = F.parse_url(F.col(url_col), F.lit("PATH"))
     joined = pending.withColumn("_path", path).join(

@@ -72,14 +72,29 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 17,
     iters: int = 3,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_sample_rows: int = 100_000,
 ) -> np.ndarray:
     """Deterministic mini k-means on a sample: seeded init, few Lloyd
     iterations driver-side over a collected sample (the sample is small;
-    the INDEX BUILD over the full corpus stays distributed)."""
+    the INDEX BUILD over the full corpus stays distributed).
+
+    The driver-side collect is HARD-BOUNDED at ``max_sample_rows``
+    regardless of corpus size (k-means needs ~100x ncells rows, not the
+    corpus): ``sample_fraction=None`` derives a fraction from a footer-free
+    corpus count only when needed, and a ``limit`` backstops the collect
+    even if the fraction over-samples. r1 default (fraction 1.0 ->
+    toPandas() of the whole corpus) was a 100 TB scale-killer."""
     sample = corpus.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is None:
+        n = sample.count()
+        if n > max_sample_rows:
+            sample = sample.sample(
+                fraction=min(1.0, 1.2 * max_sample_rows / n), seed=seed
+            )
+    elif sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
+    sample = sample.limit(max_sample_rows)  # hard bound on the collect
     mat = np.vstack(sample.toPandas()[vec_col].to_numpy())
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(ncells, len(mat)), replace=False)]

@@ -31,6 +31,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Sum of num_rows across parquet footers — the Iceberg-manifest
+    record-count analog, read driver-side in milliseconds."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -106,7 +114,11 @@ class SnapshotTable:
         files, schema_json = self._write_datafiles(df, target_partitions)
         cur = self.current_snapshot()
         all_files = (cur["files"] if cur else []) + files
-        return self._commit(all_files, summary or {}, schema_json,
+        summary = dict(summary or {})
+        # row count from parquet FOOTERS (driver-side metadata read, no
+        # Spark job) — lets the engine know wave sizes without count()s
+        summary.setdefault("rows", _footer_rows(files))
+        return self._commit(all_files, summary, schema_json,
                             delta_files=files)
 
     def read_delta(self, spark: SparkSession, manifest: dict) -> DataFrame:

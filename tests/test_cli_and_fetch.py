@@ -31,13 +31,15 @@ def test_cli_end_to_end(spark, tmp_path):
         "--master", "local[4]",
     ])
     assert rc == 0
-    files = os.listdir(out)
-    mds = [f for f in files if f.endswith(".md")]
-    jsons = [f for f in files if f.endswith(".json")]
-    assert mds and jsons
-    data = json.load(open(os.path.join(out, jsons[0])))
+    # reference layout (cli.py:179-181,236-257):
+    # {output}/{url_to_filename(first)}/{sanitize_filename(title)}.{md,json}
+    out_dir = os.path.join(out, "host0_example_p_0")
+    files = os.listdir(out_dir)
+    assert "httpshost0.examplep0.md" in files     # title defaults to the URL
+    assert "httpshost0.examplep0.json" in files
+    data = json.load(open(os.path.join(out_dir, "httpshost0.examplep0.json")))
     assert len(data) > 0 and all("url" in d and "content" in d for d in data)
-    assert os.path.isdir(os.path.join(out, "files"))
+    assert os.path.isdir(os.path.join(out_dir, "files"))
     # re-run with same cache resumes (no error, same output)
     rc2 = cli_main([
         "--url", "https://host0.example/p/0",
@@ -53,6 +55,44 @@ def test_cli_end_to_end(spark, tmp_path):
 def test_cli_requires_seed_and_corpus(tmp_path):
     assert cli_main(["--output-folder", str(tmp_path)]) == 2
     assert cli_main(["--url", "https://x.example/"]) == 2
+
+
+def test_cli_rejects_empty_urls_file(tmp_path):
+    # reference cli.py:175-176: parser.error("No URL provided...") when the
+    # seed list is empty — url_to_filename(None) must never run
+    empty = tmp_path / "seeds.txt"
+    empty.write_text("\n\n")
+    assert cli_main(["--urls-file", str(empty)]) == 2
+
+
+def test_cli_progress_and_resume_offset(spark, tmp_path, capsys, monkeypatch):
+    """Per-wave progress lines (reference tqdm bar, scraper.py:278-283) and
+    the resume offset on a second run over the same cache."""
+    monkeypatch.setenv("LOG_LEVEL", "INFO")
+    import logging
+
+    logging.getLogger("crawler_to_md_spark").setLevel("INFO")
+    corpus_path = str(tmp_path / "corpus")
+    synth_corpus(spark, n_pages=30, n_hosts=3, branching=3, seed=42) \
+        .write.parquet(corpus_path)
+    common = [
+        "--url", "https://host0.example/p/0",
+        "--corpus", corpus_path,
+        "--output-folder", str(tmp_path / "out"),
+        "--cache-folder", str(tmp_path / "cache"),
+        "--base-url", "https://",
+        "--master", "local[4]",
+    ]
+    assert cli_main(common) == 0
+    err = capsys.readouterr().err
+    waves = [ln for ln in err.splitlines() if ln.startswith("Scraping:")]
+    assert len(waves) >= 2           # multi-wave BFS crawl
+    assert "wave 1:" in waves[0]
+    # second run resumes: offset reported from the existing cache
+    assert cli_main(common) == 0
+    err2 = capsys.readouterr().err
+    assert any("resuming:" in ln and "links already visited" in ln
+               for ln in err2.splitlines())
 
 
 def test_host_rate_limiter_paces():

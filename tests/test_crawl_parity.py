@@ -141,3 +141,28 @@ def test_empty_content_pages_kept_with_null(spark, tmp_path):
     nulls_eng = {r["url"] for r in eng.pages_df().collect() if r["content"] is None}
     assert nulls_sim == nulls_eng
     assert nulls_sim, "fixture must exercise the NULL-content path"
+
+
+def test_live_fetch_engine_parity(spark, tmp_path):
+    """--live wiring end-to-end: the engine run with corpus=None drives
+    sources.http_fetch.fetch_http with an injected fetch_fn (the
+    reference's own test seam, tests/test_scraper.py:239-245) and must
+    match the sequential simulator exactly."""
+    n_pages = 60
+    rows = synth_corpus_rows(n_pages=n_pages, n_hosts=3, branching=3, seed=42)
+    by_url = {
+        r["url"]: (r["status"], r["content_type"], r["html"]) for r in rows
+    }
+
+    def fake_fetch(url):
+        return by_url.get(url, (-1, "", None))
+
+    cfg = CrawlConfig(use_bloom=True, bloom_shards=4,
+                      bloom_bits_per_shard=1 << 16, fetch_fn=fake_fetch)
+    eng = CrawlEngine(spark, str(tmp_path / "live"), cfg)
+    eng.run(None, single_url="https://host0.example/p/0")
+    sim = simulate_crawl(rows, single_url="https://host0.example/p/0",
+                         seed_list_mode=False)
+    assert_parity(eng, sim)
+    # live pages carry no corpus image payload
+    assert eng.pages_df().filter("bytes IS NOT NULL").count() == 0

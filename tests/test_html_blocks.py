@@ -1,0 +1,74 @@
+"""Nested-element selector contract (VERDICT r1 #8).
+
+The reference resolves selectors against a bs4 DOM (scraper.py:92-98),
+which handles nested same-tag elements; the regex dialect here must match
+those semantics via depth-counted block spans. Expected strings below are
+pinned to bs4 behavior: find_all returns OUTER and NESTED matches each as
+full elements; decompose on the outer element removes nested ones too.
+"""
+
+from crawler_to_md_spark.functions.html import (
+    filter_html,
+    find_blocks,
+    scrape_page,
+)
+
+NESTED = (
+    '<html><body><div class="main"><p>outer</p>'
+    '<div class="inner"><p>nested</p></div>'
+    "</div><p>tail</p></body></html>"
+)
+
+SAME_TAG = (
+    '<div id="a"><div><p>deep</p></div><p>after</p></div><div id="b"><p>x</p></div>'
+)
+
+
+def test_find_blocks_balances_nested_same_tag():
+    spans = find_blocks(SAME_TAG, "#a")
+    assert len(spans) == 1
+    s, e = spans[0]
+    # the block closes at ITS OWN </div>, past the nested one
+    assert SAME_TAG[s:e] == '<div id="a"><div><p>deep</p></div><p>after</p></div>'
+
+
+def test_include_nested_class_matches_all_like_find_all():
+    # bs4 find_all(class_=...) returns outer AND inner as separate elements
+    doc = ('<div class="x"><span>o</span><div class="x"><span>i</span></div>'
+           "</div>")
+    spans = find_blocks(doc, ".x")
+    assert [doc[s:e] for s, e in spans] == [
+        '<div class="x"><span>o</span><div class="x"><span>i</span></div></div>',
+        '<div class="x"><span>i</span></div>',
+    ]
+
+
+def test_exclude_outer_removes_nested_too():
+    out = filter_html(NESTED, exclude_selectors=[".main"])
+    assert "outer" not in out and "nested" not in out
+    assert "tail" in out
+
+
+def test_include_then_markdown_nested():
+    md, title, _, _ = scrape_page(NESTED, include_selectors=[".main"])
+    # include keeps the whole outer block (nested <p> included) —
+    # the inner block also matched nothing extra (.main only hits outer)
+    assert md == "outer\n\nnested"
+    assert title == ""
+
+
+def test_id_selector_first_match_only():
+    doc = '<div id="m"><p>one</p></div><div id="m"><p>two</p></div>'
+    assert filter_html(doc, include_selectors=["#m"]) == '<div id="m"><p>one</p></div>'
+
+
+def test_self_closing_and_unclosed_are_skipped():
+    assert find_blocks('<img src="x"/><p>t</p>', "img") == []
+    assert find_blocks("<div><p>never closed", "div") == []
+
+
+def test_tag_selector_word_boundary():
+    # 'p' must not match <pre> openers
+    doc = "<pre>code</pre><p>text</p>"
+    spans = find_blocks(doc, "p")
+    assert [doc[s:e] for s, e in spans] == ["<p>text</p>"]

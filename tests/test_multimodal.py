@@ -49,4 +49,5 @@ def test_frame_sample(spark):
     )
     out = frame_sample(df, every_n=2).collect()
     assert [bytes(r["bytes"])[0] for r in out] == [0, 2, 4, 6]
-    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    # frame_idx keeps the ORIGINAL temporal position, not the sampled index
+    assert [r["frame_idx"] for r in out] == [0, 2, 4, 6]

@@ -96,3 +96,25 @@ def test_metrics_lineage(spark, tmp_path):
     assert all(r["seconds"] > 0 for r in mdf)
     total_pages = sum(r["pages"] for r in mdf)
     assert total_pages == eng.pages_df().count()
+
+
+def test_resume_inserts_new_seeds(spark, tmp_path):
+    """Reference parity: every run re-validates and INSERT-OR-IGNOREs the
+    full seed list into the existing store (scraper.py:258-272) — URLs
+    newly added to --urls-file on a re-run must be crawled."""
+    corpus = _corpus(spark, 40)
+    cfg = CrawlConfig(seed_list_mode=True, use_bloom=False)
+    seeds_a = ["https://host0.example/p/0", "https://host1.example/p/1"]
+    eng = CrawlEngine(spark, str(tmp_path / "s"), cfg)
+    eng.run(corpus, seeds=seeds_a)
+
+    seeds_b = seeds_a + ["https://host2.example/p/2"]
+    resumed = CrawlEngine(spark, str(tmp_path / "s"), cfg)
+    resumed.run(corpus, seeds=seeds_b, resume=True)
+    links, pages = _final_state(resumed)
+    assert ("https://host2.example/p/2", True) in links
+    assert "https://host2.example/p/2" in [u for u, _ in pages]
+    # idempotent: a third run with the same list crawls nothing new
+    again = CrawlEngine(spark, str(tmp_path / "s"), cfg)
+    again.run(corpus, seeds=seeds_b, resume=True)
+    assert _final_state(again) == (links, pages)

@@ -48,3 +48,25 @@ def test_ivf_recall_vs_bruteforce(emb, queries):
         for q in exact_sets
     ]
     assert float(np.mean(recalls)) >= 0.6, recalls
+
+
+def test_ivf_training_collect_is_bounded(emb):
+    """The k-means training collect is hard-bounded regardless of corpus
+    size (r1's fraction-1.0 toPandas() of the whole corpus was the
+    scale-killer)."""
+    from crawler_to_md_spark.operators import similarity as sim
+
+    captured = {}
+    orig = sim.np.vstack
+
+    def spy(arrs):
+        captured["n"] = len(arrs)
+        return orig(arrs)
+
+    sim.np.vstack = spy
+    try:
+        cent = sim.train_ivf_centroids(emb, ncells=4, max_sample_rows=32)
+    finally:
+        sim.np.vstack = orig
+    assert captured["n"] <= 32
+    assert cent.shape[0] == 4
