@@ -167,27 +167,9 @@ def synth_corpus(
     return spark.createDataFrame(data, schema=_CORPUS_SCHEMA)
 
 
-def synth_corpus_distributed(
-    spark: SparkSession,
-    n_pages: int,
-    n_hosts: int = 64,
-    branching: int = 3,
-    partitions: int | None = None,
-) -> DataFrame:
-    """Bench-scale corpus: generation is 100% JVM column expressions over
-    spark.range — scales linearly with cores, no Python anywhere.
-
-    Graph: b-ary tree over page ids (child = id*b + c), same-host links,
-    plus one dup link (id-1) every 6th page. All pages are 200/text-html
-    with a 2-header + 1-paragraph body; every 2nd page carries a caption
-    figure (no real image bytes at bench scale — the fetch/extract path is
-    what's measured; decode benches run on the rich corpus).
-    """
-    df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
-    pid = F.col("id")
-    host = F.concat(F.lit("host"), (pid % n_hosts).cast("string"), F.lit(".example"))
-    url = F.concat(F.lit("https://"), host, F.lit("/p/"), pid.cast("string"))
-
+def _distributed_html(pid, n_pages: int, n_hosts: int, branching: int):
+    """The bench page's HTML as a pure column expression of its page id —
+    shared by the table generator and the column-level fetch function."""
     def child_url(c: int):
         cid = pid * branching + F.lit(c)
         chost = F.concat(
@@ -220,7 +202,7 @@ def synth_corpus_distributed(
             F.lit(" words</figcaption></figure>"),
         ),
     ).otherwise(F.lit(""))
-    html = F.concat(
+    return F.concat(
         F.lit("<html><head><title>Page "), pid.cast("string"),
         F.lit("</title></head><body><h1>Heading "), pid.cast("string"),
         F.lit("</h1><p>body text "), pid.cast("string"),
@@ -228,20 +210,80 @@ def synth_corpus_distributed(
         pid.cast("string"), F.lit(" text.</p>"),
         caption, anchors, dup, F.lit("</body></html>"),
     )
+
+
+def _null_payload():
+    return [
+    F.lit(None).cast("string").alias("image_id"),
+    F.lit(None).cast("binary").alias("bytes"),
+    F.lit(None).cast("string").alias("fmt"),
+    F.lit(None).cast("int").alias("w"),
+    F.lit(None).cast("int").alias("h"),
+    F.lit(None).cast("string").alias("caption"),
+    F.lit(None).cast("long").alias("phash"),
+    ]
+
+
+def synth_corpus_distributed(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 64,
+    branching: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Bench-scale corpus: generation is 100% JVM column expressions over
+    spark.range — scales linearly with cores, no Python anywhere.
+
+    Graph: b-ary tree over page ids (child = id*b + c), same-host links,
+    plus one dup link (id-1) every 6th page. All pages are 200/text-html
+    with a 2-header + 1-paragraph body; every 2nd page carries a caption
+    figure (no real image bytes at bench scale — the fetch/extract path is
+    what's measured; decode benches run on the rich corpus).
+    """
+    df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    pid = F.col("id")
+    host = F.concat(F.lit("host"), (pid % n_hosts).cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), pid.cast("string"))
     return df.select(
         url.alias("url"),
         host.alias("host"),
         F.lit(200).alias("status"),
         F.lit("text/html; charset=utf-8").alias("content_type"),
-        html.alias("html"),
-        F.lit(None).cast("string").alias("image_id"),
-        F.lit(None).cast("binary").alias("bytes"),
-        F.lit(None).cast("string").alias("fmt"),
-        F.lit(None).cast("int").alias("w"),
-        F.lit(None).cast("int").alias("h"),
-        F.lit(None).cast("string").alias("caption"),
-        F.lit(None).cast("long").alias("phash"),
+        _distributed_html(pid, n_pages, n_hosts, branching).alias("html"),
+        *_null_payload(),
     )
+
+
+def synth_fetch_df_fn(n_pages: int, n_hosts: int = 64, branching: int = 3):
+    """Column-level fetch function over the SAME synthetic web graph as
+    :func:`synth_corpus_distributed` (byte-identical HTML per URL), for
+    ``CrawlConfig.fetch_df_fn``: the response is computed from the URL with
+    pure JVM expressions, so fetch cost is O(wave) — the cost shape of a
+    real HTTP fetch — instead of the corpus join's O(corpus)-per-wave
+    cache scan (a simulation artifact the bench must not measure)."""
+
+    def fetch(pending: DataFrame) -> DataFrame:
+        pid_s = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1)
+        # pid MUST be materialized as a real column first: the html tree
+        # references it ~3*branching times, and inlining the regexp
+        # expression at every reference re-evaluates it per reference
+        # (measured 2.7x slower; CollapseProject keeps multi-referenced
+        # non-cheap aliases as a separate projection)
+        tmp = pending.withColumn(
+            "_fetch_pid", F.when(pid_s != "", pid_s.cast("long"))
+        )
+        pid = F.col("_fetch_pid")
+        hit = pid.isNotNull() & (pid >= 0) & (pid < n_pages)
+        return tmp.select(
+            *pending.columns,
+            F.when(hit, F.lit(200)).cast("int").alias("status"),
+            F.when(hit, F.lit("text/html; charset=utf-8")).alias("content_type"),
+            F.when(hit, _distributed_html(pid, n_pages, n_hosts, branching))
+            .alias("html"),
+            *_null_payload(),
+        )
+
+    return fetch
 
 
 def synth_images_table(

@@ -77,6 +77,11 @@ class CrawlConfig:
     # this fetch_fn (None => requests-backed default) and per-host pacing
     fetch_fn: object | None = None
     min_interval_s: float = 0.0           # reference --delay (scraper.py:302-321)
+    # DataFrame-level fetch: fn(pending) -> pending + response columns
+    # (status, content_type, html, image payload). Used with corpus=None
+    # when the response is computable per-row (synthetic benches: cost
+    # O(wave) like real HTTP, not O(corpus) like the join simulation)
+    fetch_df_fn: object | None = None
     max_waves: int | None = None
     use_bloom: bool = True
     bloom_shards: int = 16
@@ -107,6 +112,10 @@ class CrawlEngine:
         # rank totals) so the next wave never runs a count() job.
         self._fast_next: DataFrame | None = None
         self._fast_next_count: int | None = None
+        # the delta's discovery_rank lower bound (ranks are contiguous in
+        # [lo, lo+count)): lets the wave derive deterministic rank buckets
+        # instead of paying repartitionByRange's sampling recompute
+        self._fast_next_lo: int | None = None
         self._metrics_buf: list[tuple] = []
         # write-side partition cap tracks cluster size (VERDICT r1 #7)
         self._wcap = max(1, spark.sparkContext.defaultParallelism)
@@ -150,6 +159,7 @@ class CrawlEngine:
             F.lit(0).alias("depth"),
             F.lit(0).alias("wave_discovered"),
             F.col("pos").alias("discovery_rank"),
+            F.lit(None).cast("long").alias("src_rank"),  # seeds: no source
         ).persist()
         stats = seeded.agg(
             F.max("discovery_rank").alias("m"), F.count("*").alias("c")
@@ -171,6 +181,7 @@ class CrawlEngine:
         seeded.unpersist()
         self._fast_next = self.frontier.read_delta(self.spark, manifest)
         self._fast_next_count = n_seeds
+        self._fast_next_lo = 0
 
     def seed_if_new(self, seeds: list[str] | None = None,
                     single_url: str | None = None) -> int:
@@ -203,6 +214,7 @@ class CrawlEngine:
             F.lit(0).alias("depth"),
             F.lit(0).alias("wave_discovered"),
             (F.col("pos") + F.lit(base)).alias("discovery_rank"),
+            F.lit(None).cast("long").alias("src_rank"),
         )
         existing = self.frontier.read(self.spark).select("url_hash", "url")
         new = anti_join_new(cand, existing, bloom=self.bloom).persist()
@@ -302,6 +314,7 @@ class CrawlEngine:
             if n_selected == 0:
                 self._fast_next = None
                 self._fast_next_count = None
+                self._fast_next_lo = None
                 return {"wave": wave, "fetched": 0, "done": True}
             pending = self._fast_next
         else:
@@ -319,8 +332,10 @@ class CrawlEngine:
             pending = pending.persist()
             pending_cached = True
             n_selected = pending.count()
+        rank_lo = self._fast_next_lo if fast else None
         self._fast_next = None
         self._fast_next_count = None
+        self._fast_next_lo = None
         tick("select")
         if n_selected == 0:
             pending.unpersist()
@@ -328,11 +343,22 @@ class CrawlEngine:
 
         # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
         # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
+        if corpus is None:
+            # per-row fetch paths have NO shuffle between the frontier
+            # delta read and the scrape/link map work, so map parallelism
+            # would equal the delta's FILE count (sized for storage, e.g.
+            # 1 file for a small wave = one task for the whole wave).
+            # One cheap shuffle of bare URL rows restores full parallelism.
+            pending = pending.repartition(
+                self.spark.sparkContext.defaultParallelism
+            )
         if corpus is not None:
             corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
             fetched = pending.join(
                 corpus_k, pending["url"] == corpus_k["c_url"], "left"
             ).drop("c_url")
+        elif cfg.fetch_df_fn is not None:
+            fetched = cfg.fetch_df_fn(pending)
         else:
             from ..sources.http_fetch import fetch_http
 
@@ -416,10 +442,29 @@ class CrawlEngine:
                 )
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
-            new_links = anti_join_new(links, seen, bloom=self.bloom)
+            wave_caches: list = []
+            new_links = anti_join_new(links, seen, bloom=self.bloom,
+                                      persist_registry=wave_caches)
+            bucket = None
+            if rank_lo is not None:
+                # src_rank of every discovered link lies in this wave's
+                # pending stride [rank_lo, rank_lo + n_selected) — derive
+                # order-aligned rank buckets driver-side (monotonic in
+                # (src_rank, pos)), skipping repartitionByRange's sampling
+                # pass which would recompute fetch+scrape+dedup twice
+                nb = self.spark.sparkContext.defaultParallelism
+                span = max(1, n_selected)
+                bucket = F.least(
+                    F.lit(nb - 1),
+                    F.greatest(
+                        F.lit(0),
+                        ((F.col("src_rank") - F.lit(rank_lo))
+                         * nb / F.lit(span)).cast("int"),
+                    ),
+                )
             ranked, n_new, pinned = with_global_rank(
                 new_links, ["src_rank", "pos"], "wrank",
-                start=0,
+                start=0, bucket_col=bucket,
             )
             tick("dedup_rank")
 
@@ -454,6 +499,10 @@ class CrawlEngine:
                     "url_hash", "url", "host", "depth",
                     F.lit(wave).alias("wave_discovered"),
                     (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
+                    # rank of the page that FIRST discovered this URL —
+                    # per-source new-link counts (reference A4) fall out
+                    # of a groupBy on this column
+                    F.col("src_rank"),
                 )
                 manifest = self.frontier.append(
                     new_frontier,
@@ -473,11 +522,14 @@ class CrawlEngine:
                         self.spark, manifest
                     )
                     self._fast_next_count = n_new
+                    self._fast_next_lo = base
             elif not constrained:
                 # nothing discovered: next wave terminates with zero jobs
                 self._fast_next = None
                 self._fast_next_count = 0
             pinned.unpersist()
+            for df in wave_caches:
+                df.unpersist()
 
         # ---- visited commit (the wave's commit point)
         visited_rows = fetched.select(
@@ -526,9 +578,26 @@ class CrawlEngine:
         wave's metrics dict (CLI progress reporting)."""
         if robots_rules is not None and robots_rules.isEmpty():
             robots_rules = None  # ONE emptiness job per run, not per wave
+        prepared_corpus = None
+        if corpus is not None:
+            # prepare the fetch source ONCE per run: hash-partitioned and
+            # sorted on the join key, persisted. Every wave's fetch join
+            # then reuses the cache's partitioning AND ordering — only the
+            # (small) pending side shuffles; without this, each wave
+            # re-shuffles + re-sorts the full corpus (the dominant fixed
+            # per-wave cost in the bench: ~1-3s/wave at 300k pages)
+            prepared_corpus = (
+                corpus.repartition(
+                    self.spark.sparkContext.defaultParallelism, "url"
+                )
+                .sortWithinPartitions("url")
+                .persist()
+            )
+            corpus = prepared_corpus
         if resume:
             self._fast_next = None  # recovery must re-derive via anti-join
             self._fast_next_count = None
+            self._fast_next_lo = None
             start_wave = self.recover() + 1
             # reference parity: every run re-validates + INSERT-OR-IGNOREs
             # the seed list into the existing store (scraper.py:258-272),
@@ -556,6 +625,8 @@ class CrawlEngine:
                 break
             wave += 1
         self.flush_metrics()
+        if prepared_corpus is not None:
+            prepared_corpus.unpersist()
         return all_metrics
 
     def flush_metrics(self) -> None:
@@ -574,6 +645,18 @@ class CrawlEngine:
         self._metrics_buf = []
 
     # ---------------------------------------------------------------- outputs
+
+    def per_source_new_links(self) -> DataFrame:
+        """Per-page new-link counts (reference A4: scraper.py logs how many
+        of a page's links were newly inserted): how many frontier URLs each
+        source page FIRST discovered, keyed by the source page's
+        discovery_rank. Seed rows (no source) are excluded."""
+        fr = self.frontier.read(self.spark)
+        return (
+            fr.filter(F.col("src_rank").isNotNull())
+            .groupBy("src_rank")
+            .agg(F.count("*").alias("n_new_links"))
+        )
 
     def progress_counts(self) -> tuple[int, int]:
         """(total_links, visited_links) from manifest row counts — the

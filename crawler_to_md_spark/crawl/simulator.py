@@ -67,6 +67,10 @@ class SimResult:
     pages: dict[str, tuple[str | None, str]] = field(default_factory=dict)
     crawl_order: list[str] = field(default_factory=list)
     waves: list[list[str]] = field(default_factory=list)
+    # per-source newly-inserted link counts (reference A4: the scraper
+    # logs how many of a page's links were new inserts) — url -> count,
+    # only for pages that inserted at least one
+    new_per_source: dict[str, int] = field(default_factory=dict)
 
 
 def simulate_crawl(
@@ -130,5 +134,8 @@ def simulate_crawl(
                     ):
                         if defragged not in res.links:
                             res.links[defragged] = False
+                            res.new_per_source[url] = (
+                                res.new_per_source.get(url, 0) + 1
+                            )
             res.links[url] = True
     return res

@@ -84,6 +84,55 @@ def apply_global_budget(
     return pending.orderBy(order_col).limit(budget)
 
 
+def parse_robots_txt(text: str, agent: str = "*") -> list[str]:
+    """Disallow path-prefixes applying to ``agent`` from a robots.txt body
+    (minimal RFC 9309 grouping: consecutive User-agent lines open a group;
+    a group's Disallow rules apply if it names ``agent`` or ``*``; empty
+    Disallow means allow-all and contributes nothing). The reference never
+    reads robots.txt (C7 default-permissive); this parser feeds the
+    robots_gate rules table on real crawls."""
+    groups: list[tuple[set, list]] = []   # (agents, disallows)
+    current: set[str] = set()
+    rules: list[str] = []
+    rules_seen = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if rules_seen:          # a new group starts
+                groups.append((current, rules))
+                current, rules, rules_seen = set(), [], False
+            current.add(val.lower())
+        elif key in ("disallow", "allow"):
+            rules_seen = True
+            if key == "disallow" and val:
+                rules.append(val)
+    if current or rules:
+        groups.append((current, rules))
+    # RFC 9309 group selection: a crawler obeys the most-specific matching
+    # group(s) — the '*' groups apply ONLY when no group names the agent
+    a = agent.lower()
+    named = [r for agents, rs in groups if a in agents for r in rs]
+    if any(a in agents for agents, _ in groups):
+        return named
+    return [r for agents, rs in groups if "*" in agents for r in rs]
+
+
+def robots_rules_table(spark, bodies: dict[str, str], agent: str = "*"):
+    """(host -> robots.txt body) -> the (host, disallow_prefix) rules table
+    robots_gate consumes. Robots files are one small document per host, so
+    parsing is driver-side; the table is broadcast at join time."""
+    rows = [
+        (host, prefix)
+        for host, text in bodies.items()
+        for prefix in parse_robots_txt(text, agent)
+    ]
+    return spark.createDataFrame(rows, "host string, disallow_prefix string")
+
+
 def robots_gate(
     pending: DataFrame, rules: DataFrame | None, url_col: str = "url",
     host_col: str = "host"

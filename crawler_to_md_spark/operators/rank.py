@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -37,6 +37,7 @@ def with_global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
+    bucket_col=None,
 ) -> tuple[DataFrame, int, DataFrame]:
     """Add a dense global rank column ordered by ``order_cols``.
 
@@ -45,15 +46,35 @@ def with_global_rank(
     to consume multiple times; the row total falls out of the offset
     computation for free. The CALLER unpersists ``pinned_input`` after all
     consumers have run.
+
+    ``bucket_col``: optional Column holding a PRECOMPUTED range-bucket id
+    that is monotonically non-decreasing in the ``order_cols`` total order
+    (callers that know the key bounds can derive it, e.g. the crawl engine
+    knows each wave's src_rank stride). When given, partitioning is ONE
+    hash shuffle on the bucket id. Without it, ``repartitionByRange`` is
+    used — whose RangePartitioner runs a SAMPLING pass that recomputes the
+    whole upstream plan a second time (scrape UDFs, joins, and all): fine
+    for one-off queries, a 2x tax in the crawl hot loop.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if bucket_col is not None:
+        # each bucket lands wholly in one partition (hash by bucket); the
+        # leading sort key keeps its rows contiguous there, so the offset
+        # accounting below works exactly as for range partition ids
+        part = (
+            df.withColumn("_pid", bucket_col.cast("int"))
+            .repartition(n, F.col("_pid"))
+            .sortWithinPartitions("_pid", *order_cols)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        part = (
+            df.repartitionByRange(n, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # this count job materializes the cache, freezing _pid per row
     sizes = part.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}
@@ -61,6 +82,29 @@ def with_global_rank(
     for pid, cnt in sorted((r["_pid"], r["count"]) for r in sizes):
         offsets[pid] = acc
         acc += cnt
+
+    if bucket_col is not None:
+        # JVM-only rank: the cache is hash-partitioned on _pid and sorted
+        # by (_pid, order), so the window needs NO exchange and NO sort —
+        # and no Arrow round-trip (the mapInPandas below costs ~0.5-1s of
+        # Python-stage overhead per consuming job in the crawl hot loop)
+        if offsets:
+            omap = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )
+        else:
+            omap = F.create_map()
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        ranked = (
+            part.withColumn(
+                rank_col,
+                (F.element_at(omap, F.col("_pid"))
+                 + F.row_number().over(w) - 1).cast("long"),
+            )
+            .drop("_pid")
+        )
+        return ranked, acc - start, part
+
     bc = spark.sparkContext.broadcast(offsets)
     out_fields = [f for f in part.schema.fields if f.name != "_pid"]
     schema = StructType(out_fields + [StructField(rank_col, LongType(), False)])

@@ -170,6 +170,7 @@ def anti_join_new(
     key: str = "url_hash",
     bloom: BloomSeenSet | None = None,
     confirm_col: str = "url",
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Candidates not present in the seen-set (reference INSERT OR IGNORE,
     database_manager.py:75-78 — SURVEY.md J1).
@@ -189,9 +190,25 @@ def anti_join_new(
         return candidates.join(seen.select(*join_keys), join_keys, "left_anti")
     probe = bloom.maybe_seen_udf(candidates.sparkSession)
     # persist the flagged stream: both branches below consume it, and the
-    # probe (an Arrow UDF pass) must run once, not once per branch
+    # probe (an Arrow UDF pass) must run once, not once per branch. The
+    # caller passes ``persist_registry`` to unpersist it after its last
+    # action (a wave caches ~selected*branching candidate rows here —
+    # leaking that across waves churns executor memory).
     flagged = candidates.withColumn("_maybe_seen", probe(F.col(key))).persist()
+    if persist_registry is not None:
+        persist_registry.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = maybe.join(seen.select(*join_keys), join_keys, "left_anti")
+    # inverted confirm shape: a direct `maybe LEFT ANTI seen` puts the
+    # (huge, growing) seen-set on the BUILD side, forcing a full seen
+    # shuffle every call. Instead: (1) semi-join seen against the small
+    # maybe probe — build side is maybe, so AQE broadcasts it and the
+    # seen-set is only SCANNED, never shuffled; (2) anti-join maybe
+    # against the (small) confirmed-duplicate set — build side small
+    # again. Under a dup storm (large maybe set) AQE falls back to a
+    # shuffle join on its own; the result set is identical either way.
+    confirmed_dup = seen.select(*join_keys).join(
+        maybe.select(*join_keys), join_keys, "left_semi"
+    )
+    confirmed_new = maybe.join(confirmed_dup, join_keys, "left_anti")
     return definitely_new.unionByName(confirmed_new)

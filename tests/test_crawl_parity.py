@@ -166,3 +166,45 @@ def test_live_fetch_engine_parity(spark, tmp_path):
     assert_parity(eng, sim)
     # live pages carry no corpus image payload
     assert eng.pages_df().filter("bytes IS NOT NULL").count() == 0
+
+
+def test_fetch_df_fn_matches_corpus_join(spark, tmp_path):
+    """The column-level synthetic fetcher (bench fetch stage, O(wave) cost)
+    must produce the exact same crawl as the corpus-join simulation over
+    the same graph."""
+    from crawler_to_md_spark.crawl.corpus import (
+        synth_corpus_distributed,
+        synth_fetch_df_fn,
+    )
+
+    n, hosts, b = 2000, 8, 8
+    corpus = synth_corpus_distributed(spark, n, n_hosts=hosts, branching=b)
+    seed = "https://host0.example/p/0"
+    a = CrawlEngine(spark, str(tmp_path / "join"), CrawlConfig(use_bloom=False))
+    a.run(corpus, single_url=seed)
+    b_cfg = CrawlConfig(use_bloom=False,
+                        fetch_df_fn=synth_fetch_df_fn(n, hosts, b))
+    bb = CrawlEngine(spark, str(tmp_path / "fn"), b_cfg)
+    bb.run(None, single_url=seed)
+
+    la = [(r["url"], r["visited"]) for r in a.links_state().collect()]
+    lb = [(r["url"], r["visited"]) for r in bb.links_state().collect()]
+    assert la == lb and len(la) > 100
+    pa = [(r["url"], r["content"]) for r in a.pages_df().collect()]
+    pb = [(r["url"], r["content"]) for r in bb.pages_df().collect()]
+    assert pa == pb
+
+
+def test_per_source_new_links_parity(spark, tmp_path):
+    """A4: per-page newly-inserted link counts match the sequential
+    simulator exactly (keyed back from src_rank to the source URL)."""
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=60,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    rank_to_url = {r["discovery_rank"]: r["url"]
+                   for r in eng.frontier.read(eng.spark).collect()}
+    got = {rank_to_url[r["src_rank"]]: r["n_new_links"]
+           for r in eng.per_source_new_links().collect()}
+    assert got == sim.new_per_source

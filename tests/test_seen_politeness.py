@@ -125,3 +125,75 @@ def test_global_rank_dense_and_ordered(spark):
     assert [r["rk"] for r in rows] == list(range(50, 1050))
     keys = [r["key"] for r in rows]
     assert keys == sorted(keys)
+
+
+def test_global_rank_bucket_path_matches_range_path(spark):
+    """The sampling-free bucket path (caller-derived range buckets) must
+    produce the identical dense rank as repartitionByRange."""
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("key"), F.col("id").alias("payload")
+    )
+    # key in [0, 1000): 8 order-aligned buckets
+    bucket = F.least(F.lit(7), F.greatest(F.lit(0),
+                                          (F.col("key") * 8 / 1000).cast("int")))
+    ranked, total, pinned = with_global_rank(
+        df, ["key"], "rk", start=0, bucket_col=bucket, num_partitions=8
+    )
+    assert total == 1000
+    rows = ranked.orderBy("rk").collect()
+    pinned.unpersist()
+    assert [r["rk"] for r in rows] == list(range(1000))
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+    # skewed buckets (all rows clamp into bucket 0) still rank correctly
+    ranked2, total2, pinned2 = with_global_rank(
+        df, ["key"], "rk", start=0, bucket_col=F.lit(0), num_partitions=8
+    )
+    rows2 = ranked2.orderBy("rk").collect()
+    pinned2.unpersist()
+    assert total2 == 1000
+    assert [r["key"] for r in rows2] == keys
+
+
+def test_parse_robots_txt():
+    from crawler_to_md_spark.operators.politeness import parse_robots_txt
+
+    body = """
+# comment
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /tmp/ok
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+    assert parse_robots_txt(body) == ["/private/", "/tmp"]
+    assert parse_robots_txt(body, agent="googlebot") == ["/google-only/"]
+    assert parse_robots_txt(body, agent="evilbot") == ["/"]
+    assert parse_robots_txt("") == []
+    # consecutive user-agent lines share one group
+    multi = "User-agent: a\nUser-agent: *\nDisallow: /x\n"
+    assert parse_robots_txt(multi) == ["/x"]
+
+
+def test_robots_rules_table_feeds_gate(spark):
+    from crawler_to_md_spark.operators.politeness import (
+        robots_gate,
+        robots_rules_table,
+    )
+
+    rules = robots_rules_table(
+        spark, {"h0.x": "User-agent: *\nDisallow: /p/1\n", "h1.x": ""}
+    )
+    pending = spark.createDataFrame(
+        [(1, "https://h0.x/p/1", "h0.x"), (2, "https://h0.x/p/2", "h0.x"),
+         (3, "https://h1.x/p/1", "h1.x")],
+        "url_hash long, url string, host string",
+    )
+    kept = {r["url"] for r in robots_gate(pending, rules).collect()}
+    assert kept == {"https://h0.x/p/2", "https://h1.x/p/1"}
