@@ -3,7 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the crawl-engine throughput bench run at
 TWO parallelism levels (default local[2] vs local[8]; see BENCH_LEVELS)
 to evidence the north_rule's N->4N scaling criterion in this single-node
-sandbox (BASELINE.md). Prints ONE JSON line; refreshes BENCH/BASELINE.md.
+sandbox (BENCH/BASELINE.md).
+
+Prints ONE COMPACT JSON line (the driver's captured artifact): headline
+summary only — full per-round run detail, per-round efficiency ratios,
+clean-window flags, per-query rep timings, and steady-wave phase profiles
+all land in BENCH/rounds_latest.json instead (round 2's line carried the
+full detail and outgrew what the driver captures -> `parsed: null`).
 
 Crawl bench workload: BFS crawl to frontier exhaustion over the
 deterministic synthetic web graph, fetched via the column-level synthetic
@@ -14,6 +20,14 @@ fetched / wall seconds.
 Frontier-dedup microbench: candidate URLs/sec through canonicalize +
 xxhash64 + bloom prefilter + exact anti-join.
 
+Scaling statistic: per-ROUND ratios (adjacent lo/hi subprocess runs share
+host weather). The headline gate number is the MEDIAN over CLEAN rounds —
+rounds whose burn calibration shows the host actually granting >=
+CLEAN_HW_RATIO x compute from N to 4N workers (steal storms throttle the
+4N level far harder than N, measuring the host, not the engine); the
+best-round figure is reported alongside. If no base round is clean, extra
+rounds run (capped) until one is.
+
 Usage:
   python bench.py                      # full suite + scaling, one JSON line
   python bench.py --crawl-only C N    # subprocess mode: crawl at local[C]
@@ -23,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -39,6 +54,12 @@ DEDUP_CANDIDATES = int(os.environ.get("SPARK_GRAFT_BENCH_CANDS", "12000000"))
 BENCH_LEVELS = [
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
 ]
+# a round is CLEAN when the host granted at least this raw-compute ratio
+# from the N level to the 4N level (ideal 4.0) during it
+CLEAN_HW_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_HW", "3.5"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
+
+_BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
 
 
 def _burn(seconds: float) -> int:
@@ -90,7 +111,7 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # branching=64 keeps the wave count low so throughput reflects
     # steady-state work, not wave-barrier overhead.
     def cfg_for(pages):
-        return CrawlConfig(use_bloom=True,
+        return CrawlConfig(use_bloom=True, profile=True,
                            fetch_df_fn=synth_fetch_df_fn(pages, 64, 64))
 
     # warmup (untimed): JVM codegen + Python UDF workers + shuffle paths
@@ -146,6 +167,7 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
         "steady_wave_selected": big["selected"],
         "steady_wave_seconds": round(big["seconds"], 2),
         "steady_urls_per_sec": round(steady, 1),
+        "steady_phases": big.get("phases", {}),
         "dedup_candidates": DEDUP_CANDIDATES,
         "dedup_new": n_new,
         "dedup_seconds": round(dedup_s, 2),
@@ -164,7 +186,7 @@ def _merge_runs(runs: list[dict]) -> dict:
                 best[k] = r[k]
         if r["steady_wave_seconds"] < best["steady_wave_seconds"]:
             for k in ("steady_wave_selected", "steady_wave_seconds",
-                      "steady_urls_per_sec"):
+                      "steady_urls_per_sec", "steady_phases"):
                 best[k] = r[k]
         if r["dedup_seconds"] < best["dedup_seconds"]:
             for k in ("dedup_seconds", "dedup_per_sec", "dedup_new"):
@@ -184,7 +206,11 @@ def _run_crawl_subprocess(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _headline_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+def _headline_queries(sf_dir: str, cpus: int, reps: int) -> tuple[dict, list]:
+    """Per-query MINIMUM over ``reps`` full passes (one Spark session;
+    pass 1 carries UDF-worker/codegen warmup, passes 2+ measure warm) —
+    so per-query drift is distinguishable from host weather. Returns
+    (minima, all per-pass timings)."""
     from crawler_to_md_spark.queries import QUERIES
     from crawler_to_md_spark.session import get_spark
 
@@ -199,42 +225,67 @@ def _headline_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         # intentionally absent: all-pairs Jaccard is quadratic and exists
         # only to verify minhash at small scales (sf<=0.01)
     ]
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    passes: list[dict[str, float]] = []
+    for _ in range(reps):
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        passes.append(timings)
     spark.stop()
-    return timings
+    minima = {n: min(p[n] for p in passes) for n in names}
+    return minima, passes
 
 
-def _write_baseline_md(result: dict) -> None:
-    lo, hi = result["crawl_scaling"]["low"], result["crawl_scaling"]["high"]
-    eff = result["crawl_scaling"]["efficiency"]
-    deff = result["crawl_scaling"]["dedup_efficiency"]
-    seff = result["crawl_scaling"]["steady_efficiency"]
-    ln, hn = (f"local[{c}]" for c in result["crawl_scaling"]["levels"])
+def _round_effs(li: dict, hj: dict) -> dict:
+    hw_ratio = round(hj["hw_miters_per_sec"] / li["hw_miters_per_sec"], 3)
+    return {
+        "efficiency": round(hj["urls_per_sec"] / (4 * li["urls_per_sec"]), 3),
+        "steady_efficiency": round(
+            hj["steady_urls_per_sec"] / (4 * li["steady_urls_per_sec"]), 3),
+        "dedup_efficiency": round(
+            hj["dedup_per_sec"] / (4 * li["dedup_per_sec"]), 3),
+        "hw_compute_ratio_low_to_high": hw_ratio,
+        "clean": hw_ratio >= CLEAN_HW_RATIO,
+    }
+
+
+def _write_baseline_md(result: dict, rounds_path: str) -> None:
+    cs = result["crawl_scaling"]
+    lo, hi = cs["low"], cs["high"]
+    ln, hn = (f"local[{c}]" for c in cs["levels"])
     lines = [
         "# BENCH/BASELINE — measured numbers",
         "",
         f"Generated by bench.py (corpus={CRAWL_PAGES} pages, "
         f"dedup candidates={DEDUP_CANDIDATES}).",
         "",
-        f"| metric | {ln} (N) | {hn} (4N) | scaling efficiency (N->4N) |",
-        "|---|---|---|---|",
+        f"| metric | {ln} (N) | {hn} (4N) | eff median (clean rounds) | eff best |",
+        "|---|---|---|---|---|",
         f"| crawl URLs fetched/sec (end-to-end incl. wave barriers) "
-        f"| {lo['urls_per_sec']} | {hi['urls_per_sec']} | {eff} |",
+        f"| {lo['urls_per_sec']} | {hi['urls_per_sec']} "
+        f"| {cs['efficiency']} | {cs['efficiency_best']} |",
         f"| crawl URLs/sec, steady-state (largest wave) "
-        f"| {lo['steady_urls_per_sec']} | {hi['steady_urls_per_sec']} | {seff} |",
+        f"| {lo['steady_urls_per_sec']} | {hi['steady_urls_per_sec']} "
+        f"| {cs['steady_efficiency']} | {cs['steady_efficiency_best']} |",
         f"| frontier dedup candidates/sec | {lo['dedup_per_sec']} "
-        f"| {hi['dedup_per_sec']} | {deff} |",
+        f"| {hi['dedup_per_sec']} "
+        f"| {cs['dedup_efficiency']} | {cs['dedup_efficiency_best']} |",
         "",
         "Throughput columns are per-level minima across interleaved",
-        "rounds; the efficiency column is the BEST round's ratio (adjacent",
-        "lo/hi runs share host weather — steal storms throttle the 4N",
-        "level far harder than N, so a cross-round mix would misstate the",
-        "engine's scaling; all rounds are in BENCH_r{N}.json).",
+        "rounds. The headline efficiency is the MEDIAN of per-round",
+        "ratios over CLEAN rounds — rounds whose burn calibration shows",
+        f"the host granting >= {CLEAN_HW_RATIO}x compute from N to 4N",
+        "workers (adjacent lo/hi runs share host weather; storm rounds",
+        "measure the HOST's willingness to grant 8 cores, not the",
+        "engine's plan shape: 2-core numbers stay stable across weather",
+        "while 8-core numbers collapse 3x). Best-round shown alongside;",
+        f"every round's raw pair and phase profile: {rounds_path}.",
+        f"Clean rounds this run: {cs['clean_rounds']}/{cs['rounds_total']}"
+        + (" — NO clean window found; median falls back to all rounds"
+           if cs["clean_rounds"] == 0 else ""),
         "",
         f"The N vs 4N pair is {ln} vs {hn}: a coordination-free burn test",
         "shows the 32 advertised vCPUs share host cores and deliver only",
@@ -247,47 +298,39 @@ def _write_baseline_md(result: dict) -> None:
         "equivalence to the corpus-join fetch simulation is pinned by",
         "test_fetch_df_fn_matches_corpus_join). Wave-barrier costs",
         "(driver-side commits, manifest IO, job scheduling, Arrow worker",
-        "round-trips) are constant per wave (~1-3 s in this sandbox) and",
-        "amortize at production wave sizes; the steady-state row is the",
-        "largest wave (the amortized regime), end-to-end reported alongside.",
+        "round-trips) are constant per wave and amortize at production",
+        "wave sizes; since round 3 the four per-wave commits (pages,",
+        "frontier, bloom, visited) run CONCURRENTLY against the wave's",
+        "caches with a marker-line commit point, so the barrier costs",
+        "max(commit), not sum(commit). The steady-state row is the",
+        "largest wave (the amortized regime), end-to-end alongside.",
         "",
-        "HARDWARE CEILING: a coordination-free burn test measures the",
-        "raw N->4N compute ratio the host actually grants at "
-        f"{result['crawl_scaling']['hw_compute_ratio_low_to_high']}x"
-        " (ideal 4x), capping any job's achievable raw efficiency at "
-        f"{round(result['crawl_scaling']['hw_compute_ratio_low_to_high']/4, 3)}."
-        " Hardware-normalized efficiencies (raw / ceiling):",
-        f"end-to-end {result['crawl_scaling']['efficiency_hw_normalized']},",
-        f"steady-state {result['crawl_scaling']['steady_efficiency_hw_normalized']},",
-        f"dedup {result['crawl_scaling']['dedup_efficiency_hw_normalized']}.",
+        "HARDWARE CEILING: the burn test measures the raw N->4N compute",
+        "ratio the host actually grants at "
+        f"{cs['hw_compute_ratio_low_to_high']}x (ideal 4x), capping any",
+        "job's achievable raw efficiency at "
+        f"{round(cs['hw_compute_ratio_low_to_high'] / 4, 3)}.",
+        "Hardware-normalized efficiencies (median / ceiling):",
+        f"end-to-end {cs['efficiency_hw_normalized']},",
+        f"steady-state {cs['steady_efficiency_hw_normalized']},",
+        f"dedup {cs['dedup_efficiency_hw_normalized']}.",
         "On real N vs 4N executor clusters the denominator is the actual",
         "4x resource ratio; the engine has no single-partition stages or",
         "driver bottlenecks that would cap it (see operators/rank.py,",
-        "operators/seen.py).",
+        "operators/seen.py, PLANS.md).",
         "",
-        "CLEAN-WINDOW EVIDENCE (host steal varies by hours; a run in a",
-        "quiet window on 2026-08-16, preserved verbatim in",
-        "BENCH/evidence_local{2,8}_1M_2026-08-16T17*.json, measured the",
-        "same engine/commit at 1M pages: steady-state 20,610 -> 66,685",
-        "URLs/sec = raw N->4N efficiency 0.809 (>=0.8 gate PASS, hardware",
-        "ceiling not even applied), end-to-end 11,203 -> 24,123 = 0.538",
-        "raw / 0.772 hw-normalized, dedup 0.562 raw / 0.806 hw-normalized.",
-        "Runs under storms measure the HOST's willingness to grant 8",
-        "cores, not the engine's plan shape: the 2-core numbers stay",
-        "stable across weather while the 8-core numbers collapse, and the",
-        "1-second burn calibration cannot see a minutes-long storm.",
+        "Headline query timings (seconds, sf=" + str(result["sf"]) +
+        f", min of {QUERY_REPS} interleaved passes; all passes in the",
+        "rounds file so true regressions are distinguishable from",
+        "host weather):",
         "",
-        "Headline query timings (seconds, sf=" + str(result["sf"]) + "):",
-        "",
-        "| query | sec |",
+        "| query | sec (min) |",
         "|---|---|",
     ]
     for k, v in result["queries"].items():
         lines.append(f"| {k} | {v} |")
-    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH"), exist_ok=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH", "BASELINE.md"), "w") as f:
+    os.makedirs(_BENCH_DIR, exist_ok=True)
+    with open(os.path.join(_BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
@@ -304,43 +347,37 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
     t0 = time.time()
-    queries = _headline_queries(sf_dir, cpus)
+    queries, query_passes = _headline_queries(sf_dir, cpus, QUERY_REPS)
     # INTERLEAVE the levels (lo,hi,lo,hi,...) and merge per-level minima:
     # host steal storms last minutes, so running all lo-reps then all
-    # hi-reps lets one storm bias the N->4N ratio in either direction
+    # hi-reps lets one storm bias the N->4N ratio in either direction.
+    # CLEAN-WINDOW PROTOCOL: if none of the base rounds ran in a clean
+    # window (burn calibration >= CLEAN_HW_RATIO), keep adding rounds up
+    # to the cap — a storm lasts minutes, the wait is bounded.
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-    lo_runs, hi_runs = [], []
-    for _ in range(rounds):
+    max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "6"))
+    lo_runs, hi_runs, round_effs = [], [], []
+    while len(round_effs) < rounds or (
+        not any(r["clean"] for r in round_effs) and len(round_effs) < max_rounds
+    ):
         lo_runs.append(_run_crawl_subprocess(BENCH_LEVELS[0]))
         hi_runs.append(_run_crawl_subprocess(BENCH_LEVELS[1]))
+        round_effs.append(_round_effs(lo_runs[-1], hi_runs[-1]))
     lo, hi = _merge_runs(lo_runs), _merge_runs(hi_runs)
 
-    # efficiency statistic: per-ROUND ratios, best round kept. Adjacent
-    # (lo_i, hi_i) runs share the host's weather; steal storms last
-    # minutes and throttle the 4N level far harder than the N level (8
-    # threads contending for ~2 granted cores), so a cross-round min-merge
-    # would divide a clean N sample by a stormy 4N sample. The best round
-    # is the engine's scaling measured when the host actually grants the
-    # advertised capacity; all rounds are reported for transparency.
-    def _round_effs(li, hj):
-        return {
-            "efficiency": round(hj["urls_per_sec"] / (4 * li["urls_per_sec"]), 3),
-            "steady_efficiency": round(
-                hj["steady_urls_per_sec"] / (4 * li["steady_urls_per_sec"]), 3),
-            "dedup_efficiency": round(
-                hj["dedup_per_sec"] / (4 * li["dedup_per_sec"]), 3),
-            "hw_compute_ratio_low_to_high": round(
-                hj["hw_miters_per_sec"] / li["hw_miters_per_sec"], 3),
-        }
-
-    round_effs = [_round_effs(li, hj) for li, hj in zip(lo_runs, hi_runs)]
+    clean = [r for r in round_effs if r["clean"]]
+    gate_pool = clean or round_effs  # no clean window -> flagged fallback
     best = max(round_effs, key=lambda r: r["steady_efficiency"])
-    eff, seff, deff = (best["efficiency"], best["steady_efficiency"],
-                       best["dedup_efficiency"])
+
+    def med(key: str) -> float:
+        return round(statistics.median(r[key] for r in gate_pool), 3)
+
+    eff, seff, deff = (med("efficiency"), med("steady_efficiency"),
+                       med("dedup_efficiency"))
     # hardware ceiling: this sandbox's 32 "vCPUs" share host cores — the
     # measured raw-compute ratio (burn loops, no coordination) caps any
     # job's achievable scaling; normalized efficiency divides by it
-    hw_ratio = best["hw_compute_ratio_low_to_high"]
+    hw_ratio = med("hw_compute_ratio_low_to_high")
     hw_ceiling = hw_ratio / 4.0
     norm = lambda e: round(min(1.0, e / hw_ceiling), 3) if hw_ceiling else None  # noqa: E731
     total = round(time.time() - t0, 2)
@@ -353,22 +390,44 @@ def main() -> None:
         "sf": sf,
         "crawl_scaling": {
             "levels": BENCH_LEVELS,
-            "low": lo,
-            "high": hi,
+            # phase profiles stay in the side file: the stdout line must
+            # remain small enough for the driver's capture window
+            "low": {k: v for k, v in lo.items() if k != "steady_phases"},
+            "high": {k: v for k, v in hi.items() if k != "steady_phases"},
+            # headline = median over clean rounds (the gate statistic);
+            # *_best = most favorable round, for continuity with r1/r2
             "efficiency": eff,
             "steady_efficiency": seff,
             "dedup_efficiency": deff,
+            "efficiency_best": best["efficiency"],
+            "steady_efficiency_best": best["steady_efficiency"],
+            "dedup_efficiency_best": best["dedup_efficiency"],
             "hw_compute_ratio_low_to_high": hw_ratio,
             "efficiency_hw_normalized": norm(eff),
             "steady_efficiency_hw_normalized": norm(seff),
             "dedup_efficiency_hw_normalized": norm(deff),
-            "rounds": round_effs,
-            "per_round_runs": [
-                {"low": li, "high": hj} for li, hj in zip(lo_runs, hi_runs)
-            ],
+            "clean_rounds": len(clean),
+            "rounds_total": len(round_effs),
         },
     }
-    _write_baseline_md(result)
+    # full detail -> side file (keeps the stdout line driver-parseable)
+    os.makedirs(_BENCH_DIR, exist_ok=True)
+    rounds_path = os.path.join(_BENCH_DIR, "rounds_latest.json")
+    with open(rounds_path, "w") as f:
+        json.dump(
+            {
+                "levels": BENCH_LEVELS,
+                "clean_hw_ratio_threshold": CLEAN_HW_RATIO,
+                "rounds": round_effs,
+                "per_round_runs": [
+                    {"low": li, "high": hj}
+                    for li, hj in zip(lo_runs, hi_runs)
+                ],
+                "query_passes": query_passes,
+            },
+            f, indent=1,
+        )
+    _write_baseline_md(result, "BENCH/rounds_latest.json")
     print(json.dumps(result))
 
 

@@ -10,7 +10,9 @@ One wave == one Structured-Streaming-style micro-batch (SURVEY.md C1):
     links    = posexplode -> resolve (RFC-3986 UDF) -> defrag -> validity
     new      = links ANTI-JOIN frontier (bloom prefilter + exact backing)
     ranked   = distributed global rank -> discovery_rank continues rowid
-    COMMIT   = append pages, frontier, visited, metrics (wave-tagged)
+    COMMIT   = pages/frontier/bloom/visited appends run CONCURRENTLY
+               (all read caches the rank job materialized), then the
+               wave MARKER line lands (the actual commit point)
 
 Reference semantics reproduced wave-for-wave (scraper.py:247-376; see
 crawl/simulator.py for the line-cited contract). State transitions are
@@ -30,8 +32,10 @@ Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
 - the bloom seen-set prunes the duplicate-heavy candidate stream before
   the anti-join shuffle (operators/seen.py);
 - crash mid-wave: recovery rolls every table back to the last wave whose
-  ``visited`` append committed (the wave's commit point), then re-derives
-  the partial wave — idempotent replay (SURVEY.md §7 hard part 2).
+  commit MARKER landed (commits.jsonl), then re-derives the partial wave —
+  idempotent replay (SURVEY.md §7 hard part 2). Legacy stores without a
+  marker log fall back to the visited-append commit point they were
+  written with.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +106,14 @@ class CrawlEngine:
         self.pages = SnapshotTable(os.path.join(root, "pages"))
         self.metrics = SnapshotTable(os.path.join(root, "metrics"))
         self._bloom_path = os.path.join(root, "bloom", "seen.npz")
+        # wave-commit marker log: a wave is committed iff its marker line
+        # landed here. Decoupling the marker from any one table lets the
+        # four per-wave commits (pages, frontier, bloom, visited) run
+        # CONCURRENTLY — recovery rolls every table back to the last
+        # marked wave, so partial parallel commits are always discarded.
+        # Stores written before this format (<= round 2) have no log;
+        # last_committed_wave() falls back to their visited snapshots.
+        self._commit_log = os.path.join(root, "commits.jsonl")
         # frontier feeding: when no scheduler constraint (quota/robots/
         # budget) can defer rows, wave k+1's pending set IS wave k's new
         # discoveries — handed over as the frontier append's DELTA FILES
@@ -170,11 +183,13 @@ class CrawlEngine:
             {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)},
             target_partitions=1,
         )
-        # wave-0 commit point: an empty visited append marks seeding done
+        # wave-0 commit: an empty visited append keeps legacy readers
+        # consistent; the marker line is the actual commit point
         empty_visited = self.spark.createDataFrame(
             [], "url_hash long, url string, wave_visited int, status string"
         )
         self.visited.append(empty_visited, {"wave": 0})
+        self._mark_committed(0)
         if self.bloom is not None:
             self.bloom.add_distributed(seeded)
             self.bloom.save(self._bloom_path)
@@ -236,22 +251,50 @@ class CrawlEngine:
 
     # --------------------------------------------------------------- recovery
 
+    def _mark_committed(self, wave: int) -> None:
+        """Append the wave's commit marker (fsync'd: the marker IS the
+        wave's commit point — a crash before it rolls the wave back)."""
+        with open(self._commit_log, "a") as f:
+            f.write(json.dumps({"wave": wave}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
     def last_committed_wave(self) -> int:
+        if os.path.exists(self._commit_log):
+            last = -1
+            with open(self._commit_log) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:  # a torn tail line from a mid-write crash is
+                        last = max(last, int(json.loads(line)["wave"]))
+                    except (ValueError, KeyError):  # an uncommitted wave
+                        pass
+            return last
+        # legacy store (format <= round 2): the visited append, which was
+        # then the last sequential step of a wave, doubled as the marker
         if not self.visited.exists():
             return -1
         waves = [s["summary"].get("wave", -1) for s in self.visited.snapshots()]
         return max(waves, default=-1)
 
     def recover(self) -> int:
-        """Roll pages/frontier/metrics back to the last wave whose visited
-        append committed; returns that wave. Idempotent."""
+        """Roll every table back to the last marked wave; returns that
+        wave. Idempotent. ``visited`` is included: its append runs in
+        parallel with the others inside a wave, so it too can be ahead of
+        the marker after a crash."""
         last = self.last_committed_wave()
-        for tbl in (self.frontier, self.pages, self.metrics):
+        for tbl in (self.frontier, self.pages, self.metrics, self.visited):
             good = 0
             for s in tbl.snapshots():
                 if s["summary"].get("wave", -1) <= last:
                     good = s["version"]
             tbl.rollback_to(good)
+        # legacy-format upgrade: establish the marker log at the recovered
+        # wave so subsequent (parallel) commits have a consistent baseline
+        if last >= 0 and not os.path.exists(self._commit_log):
+            self._mark_committed(last)
         if self.bloom is not None and self.frontier.exists():
             # bloom may be ahead of the rolled-back frontier; rebuild exactly
             self.bloom = BloomSeenSet(
@@ -306,6 +349,7 @@ class CrawlEngine:
         )
         fast = self._fast_next_count is not None and not constrained
         pending_cached = False
+        wave_caches: list = []  # persisted intermediates, unpersisted at wave end
         if fast:
             # n_selected is KNOWN driver-side (last wave's rank total /
             # seed append footers) — no count() job, no persist: the delta
@@ -328,7 +372,8 @@ class CrawlEngine:
                     salt=cfg.salt, salt_threshold=cfg.salt_threshold,
                 )
             if cfg.global_budget is not None:
-                pending = apply_global_budget(pending, cfg.global_budget)
+                pending = apply_global_budget(pending, cfg.global_budget,
+                                              persist_registry=wave_caches)
             pending = pending.persist()
             pending_cached = True
             n_selected = pending.count()
@@ -339,7 +384,14 @@ class CrawlEngine:
         tick("select")
         if n_selected == 0:
             pending.unpersist()
+            for df in wave_caches:
+                df.unpersist()
             return {"wave": wave, "fetched": 0, "done": True}
+
+        # keep the persisted handle: `pending` may be rebound to a derived
+        # plan below (repartition), on which unpersist() would no-op and
+        # leak the wave's cache entry
+        pending_src = pending
 
         # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
         # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
@@ -442,7 +494,6 @@ class CrawlEngine:
                 )
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
-            wave_caches: list = []
             new_links = anti_join_new(links, seen, bloom=self.bloom,
                                       persist_registry=wave_caches)
             bucket = None
@@ -474,8 +525,12 @@ class CrawlEngine:
             scraped.count()
             tick("scrape")
 
-        # ---- pages append (reads the scraped cache; row count comes back
-        # from the append's parquet footers — no count() job)
+        # ---- commit stage: pages, frontier, bloom, and visited commits
+        # all read only the caches the rank job (or scrape count) just
+        # materialized, and the wave's commit point is the MARKER line
+        # written after ALL of them land (recovery discards any partial
+        # set), so they run CONCURRENTLY from driver threads — the wave
+        # barrier costs max(commit) wall time instead of sum(commit).
         new_pages = scraped.select(
             "url_hash", "url", "host", "discovery_rank",
             F.col("_s.content").alias("content"),
@@ -485,62 +540,89 @@ class CrawlEngine:
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             F.lit(wave).alias("wave"),
         )
-        pmanifest = self.pages.append(
-            new_pages, {"wave": wave},
-            target_partitions=_npart(n_selected, cap=self._wcap),
-        )
-        n_pages = int(pmanifest["summary"]["rows"])
-        tick("pages_append")
+        discovered = not cfg.seed_list_mode and n_new > 0
+        # rank watermark from manifests — read BEFORE the concurrent
+        # frontier append publishes this wave's manifest
+        base = self._next_rank_base() if discovered else None
+        results: dict[str, dict] = {}
+
+        def _commit_pages() -> None:
+            t = time.time()
+            results["pages"] = self.pages.append(
+                new_pages, {"wave": wave},
+                target_partitions=_npart(n_selected, cap=self._wcap),
+            )
+            phases["pages_append"] = round(time.time() - t, 3)
+
+        def _commit_frontier() -> None:
+            t = time.time()
+            new_frontier = ranked.select(
+                "url_hash", "url", "host", "depth",
+                F.lit(wave).alias("wave_discovered"),
+                (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
+                # rank of the page that FIRST discovered this URL —
+                # per-source new-link counts (reference A4) fall out
+                # of a groupBy on this column
+                F.col("src_rank"),
+            )
+            results["frontier"] = self.frontier.append(
+                new_frontier,
+                {"wave": wave, "max_rank": base + n_new - 1},
+                target_partitions=_npart(n_new, cap=self._wcap),
+            )
+            phases["frontier_append"] = round(time.time() - t, 3)
+
+        def _commit_bloom() -> None:
+            t = time.time()
+            # bloom delta from the rank's pinned CACHE (same rows as the
+            # frontier append) — not a re-read of the delta files. Must
+            # complete before the next wave's probe: a missing wave in the
+            # bloom would be a FALSE NEGATIVE (dropped dedup, not a re-check)
+            self.bloom.add_distributed(pinned)
+            self.bloom.save(self._bloom_path)
+            phases["bloom"] = round(time.time() - t, 3)
+
+        def _commit_visited() -> None:
+            t = time.time()
+            visited_rows = fetched.select(
+                "url_hash", "url",
+                F.lit(wave).alias("wave_visited"),
+                F.when(F.col("_gate"), F.lit("done"))
+                .otherwise(F.lit("skipped")).alias("status"),
+            )
+            self.visited.append(
+                visited_rows, {"wave": wave},
+                target_partitions=_npart(n_selected, cap=self._wcap),
+            )
+            phases["visited_append"] = round(time.time() - t, 3)
+
+        commits = [_commit_pages, _commit_visited]
+        if discovered:
+            commits.append(_commit_frontier)
+            if self.bloom is not None:
+                commits.append(_commit_bloom)
+        with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+            for fut in [pool.submit(c) for c in commits]:
+                fut.result()  # re-raises: a failed commit leaves no marker
+        self._mark_committed(wave)
+        tick("commit_wall")
+        n_pages = int(results["pages"]["summary"]["rows"])
 
         if not cfg.seed_list_mode:
-            if n_new > 0:
-                base = self._next_rank_base()
-                new_frontier = ranked.select(
-                    "url_hash", "url", "host", "depth",
-                    F.lit(wave).alias("wave_discovered"),
-                    (F.col("wrank") + F.lit(base)).alias("discovery_rank"),
-                    # rank of the page that FIRST discovered this URL —
-                    # per-source new-link counts (reference A4) fall out
-                    # of a groupBy on this column
-                    F.col("src_rank"),
+            if discovered and not constrained:
+                # lineage-free handoff to the next wave (__init__ note)
+                self._fast_next = self.frontier.read_delta(
+                    self.spark, results["frontier"]
                 )
-                manifest = self.frontier.append(
-                    new_frontier,
-                    {"wave": wave, "max_rank": base + n_new - 1},
-                    target_partitions=_npart(n_new, cap=self._wcap),
-                )
-                tick("frontier_append")
-                if self.bloom is not None:
-                    # bloom delta from the rank's pinned CACHE (same rows
-                    # as the append) — not a re-read of the delta files
-                    self.bloom.add_distributed(pinned)
-                    self.bloom.save(self._bloom_path)
-                tick("bloom")
-                if not constrained:
-                    # lineage-free handoff to the next wave (__init__ note)
-                    self._fast_next = self.frontier.read_delta(
-                        self.spark, manifest
-                    )
-                    self._fast_next_count = n_new
-                    self._fast_next_lo = base
-            elif not constrained:
+                self._fast_next_count = n_new
+                self._fast_next_lo = base
+            elif n_new == 0 and not constrained:
                 # nothing discovered: next wave terminates with zero jobs
                 self._fast_next = None
                 self._fast_next_count = 0
             pinned.unpersist()
-            for df in wave_caches:
-                df.unpersist()
-
-        # ---- visited commit (the wave's commit point)
-        visited_rows = fetched.select(
-            "url_hash", "url",
-            F.lit(wave).alias("wave_visited"),
-            F.when(F.col("_gate"), F.lit("done")).otherwise(F.lit("skipped"))
-            .alias("status"),
-        )
-        self.visited.append(visited_rows, {"wave": wave},
-                            target_partitions=_npart(n_selected, cap=self._wcap))
-        tick("visited_append")
+        for df in wave_caches:
+            df.unpersist()
 
         dt = time.time() - t0
         m = {
@@ -557,7 +639,7 @@ class CrawlEngine:
         scraped.unpersist()
         fetched.unpersist()
         if pending_cached:
-            pending.unpersist()
+            pending_src.unpersist()
         return m
 
     # -------------------------------------------------------------------- run
@@ -603,7 +685,12 @@ class CrawlEngine:
             # the seed list into the existing store (scraper.py:258-272),
             # so URLs newly added to --urls-file get crawled on resume
             if seeds or single_url is not None:
-                self.seed_if_new(seeds=seeds, single_url=single_url)
+                n_seeded = self.seed_if_new(seeds=seeds, single_url=single_url)
+                if on_wave is not None and n_seeded:
+                    # progress parity with the non-resume path: newly added
+                    # seed URLs enter the CLI's link total
+                    on_wave({"wave": start_wave - 1, "seeded": n_seeded,
+                             "done": False})
         else:
             self.seed(seeds=seeds, single_url=single_url)
             if on_wave is not None:
@@ -693,6 +780,8 @@ class CrawlEngine:
             t.drop()
         if os.path.exists(self._bloom_path):
             os.remove(self._bloom_path)
+        if os.path.exists(self._commit_log):
+            os.remove(self._commit_log)
 
 
 def metadata_json(metadata_map_col):

@@ -32,10 +32,21 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_HREF_RE = re.compile(r"<a\s[^>]*?href=\"([^\"]*)\"[^>]*>", re.IGNORECASE)
+# attribute values accept either quote style (bs4 parses both); group 1
+# captures double-quoted, group 2 single-quoted
+_HREF_RE = re.compile(
+    r"<a\s[^>]*?href=(?:\"([^\"]*)\"|'([^']*)')[^>]*>", re.IGNORECASE
+)
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _CAPTION_RE = re.compile(r"<figcaption>(.*?)</figcaption>", re.IGNORECASE | re.DOTALL)
-_IMG_RE = re.compile(r"<img\s[^>]*?src=\"([^\"]*)\"[^>]*>", re.IGNORECASE)
+_IMG_RE = re.compile(
+    r"<img\s[^>]*?src=(?:\"([^\"]*)\"|'([^']*)')[^>]*>", re.IGNORECASE
+)
+
+
+def _attr_group(m: re.Match) -> str:
+    """The matched attribute value from a two-quote-style pattern."""
+    return m.group(1) if m.group(1) is not None else m.group(2)
 _TAG_RE = re.compile(r"<[^>]+>")
 _HEADER_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>", re.IGNORECASE | re.DOTALL)
 _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
@@ -44,7 +55,7 @@ _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
 def extract_hrefs(html: str) -> list[str]:
     """All a[href] values in document order (duplicates kept; the caller
     dedups per the parity ordering contract)."""
-    return _HREF_RE.findall(html or "")
+    return [_attr_group(m) for m in _HREF_RE.finditer(html or "")]
 
 
 def extract_links(html: str, page_url: str) -> list[str]:
@@ -72,21 +83,29 @@ def extract_caption(html: str) -> str | None:
 
 def extract_image_id(html: str) -> str | None:
     m = _IMG_RE.search(html or "")
-    return m.group(1) if m else None
+    return _attr_group(m) if m else None
 
 
 def _open_pattern(selector: str) -> re.Pattern:
     """Opening-tag pattern for a selector ('#id' | '.class' | 'tag');
-    group(1) captures the tag name for close-tag balancing."""
+    group(1) captures the tag name for close-tag balancing.
+
+    bs4-parity details (reference _find_elements, scraper.py:82-98):
+    attribute ORDER within the tag is irrelevant; values may use either
+    quote style; '.class' matches a TOKEN of a multi-valued class
+    attribute (soup.find_all(class_=x) semantics: x in the class list)."""
     if selector.startswith("#"):
         ident = re.escape(selector[1:])
         return re.compile(
-            rf"<(\w+)[^>]*\sid=\"{ident}\"[^>]*>", re.IGNORECASE
+            rf"<(\w+)[^>]*\sid=(?:\"{ident}\"|'{ident}')[^>]*>",
+            re.IGNORECASE,
         )
     if selector.startswith("."):
         cls = re.escape(selector[1:])
+        tok_d = rf"\"(?:[^\"]*\s)?{cls}(?:\s[^\"]*)?\""
+        tok_s = rf"'(?:[^']*\s)?{cls}(?:\s[^']*)?'"
         return re.compile(
-            rf"<(\w+)[^>]*\sclass=\"{cls}\"[^>]*>", re.IGNORECASE
+            rf"<(\w+)[^>]*\sclass=(?:{tok_d}|{tok_s})[^>]*>", re.IGNORECASE
         )
     tag = re.escape(selector)
     return re.compile(rf"<({tag})(?=[\s>])[^>]*>", re.IGNORECASE)
@@ -98,9 +117,10 @@ def find_blocks(doc: str, selector: str) -> list[tuple[int, int]]:
     the reference gets from bs4's DOM (scraper.py:92-98: soup.find /
     find_all, which also return nested matches individually).
 
-    Self-closing openers (<tag .../>), and elements whose close tag never
-    appears, yield no span (bs4 would auto-close at document end; our
-    dialect always closes its block tags)."""
+    Self-closing openers (<tag .../>) yield no span. An element whose
+    close tag never appears spans to END OF DOCUMENT — bs4's html.parser
+    auto-closes unclosed block tags at EOF, so the element's content is
+    everything after the opener."""
     spans: list[tuple[int, int]] = []
     for m in _open_pattern(selector).finditer(doc):
         if m.group(0).endswith("/>"):
@@ -117,6 +137,8 @@ def find_blocks(doc: str, selector: str) -> list[tuple[int, int]]:
                     break
             elif not tok.endswith("/>"):
                 depth += 1
+        else:  # unclosed: bs4 auto-close at document end
+            spans.append((m.start(), len(doc)))
     return spans
 
 

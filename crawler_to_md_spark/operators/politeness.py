@@ -51,7 +51,10 @@ def apply_host_quota(
     """
     order_cols = order_cols or ["depth", "discovery_rank"]
     counts = pending.groupBy(host_col).agg(F.count("*").alias("_host_n"))
-    df = pending.join(F.broadcast(counts), host_col)
+    # no broadcast HINT on counts: one row per distinct host is small at
+    # sandbox scale but multi-GB at a 10^8-host frontier — AQE picks
+    # broadcast vs shuffle from the aggregate's runtime size instead
+    df = pending.join(counts, host_col)
 
     cold = df.filter(F.col("_host_n") <= salt_threshold)
     w_cold = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
@@ -73,15 +76,33 @@ def apply_host_quota(
 
 
 def apply_global_budget(
-    pending: DataFrame, budget: int, order_col: str = "discovery_rank"
+    pending: DataFrame, budget: int, order_col: str = "discovery_rank",
+    large_threshold: int = 1_000_000, persist_registry: list | None = None,
 ) -> DataFrame:
     """Reference-parity global budget: the first ``budget`` pending rows in
     frontier order fetch this wave (scraper.py:302-314 generalized — one
-    wave == one rate window). Uses a range-partitioned rank, not a
-    single-partition window.
+    wave == one rate window).
+
+    Small budgets (the reference's rate_limit regime, <= ``large_threshold``)
+    use sort+limit: Spark's TakeOrdered keeps a per-partition top-k heap
+    and merges k rows on the driver — distributed and cheap when k is
+    small. LARGE budgets must not: a global limit funnels the k kept rows
+    through a single partition. They take the distributed-rank path
+    instead (range partition + per-partition offsets, operators/rank.py)
+    and filter rank < budget — no single-partition stage at any k.
+    ``persist_registry``, when given, receives the rank's pinned cache for
+    the caller to unpersist after its consuming actions.
     """
-    # rank via ordered limit: Spark's sort+limit is distributed (TakeOrdered)
-    return pending.orderBy(order_col).limit(budget)
+    if budget <= large_threshold:
+        return pending.orderBy(order_col).limit(budget)
+    from .rank import with_global_rank
+
+    ranked, _total, pinned = with_global_rank(
+        pending, [order_col], rank_col="_gb_rank"
+    )
+    if persist_registry is not None:
+        persist_registry.append(pinned)
+    return ranked.filter(F.col("_gb_rank") < budget).drop("_gb_rank")
 
 
 def parse_robots_txt(text: str, agent: str = "*") -> list[str]:

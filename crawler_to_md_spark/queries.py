@@ -16,15 +16,19 @@ Coverage mapping (SURVEY.md §2 -> queries):
                                      lang_id_eval, fingerprint_docs,
                                      jaccard_pairs_docs
 - similarity search               -> embedding_topk, embedding_pairs
-- crawl engine end-to-end         -> crawl_pages / crawl_links (rows-only;
-                                     the SQL-inexpressible BFS loop is
+- crawl engine end-to-end         -> crawl_pages / crawl_links, oracle-
+                                     checked against a DuckDB wave-BFS
+                                     (unrolled CTEs) over the same graph;
+                                     page CONTENT byte-exactness is
                                      parity-tested against the sequential
-                                     simulator in tests/test_crawl_parity.py)
+                                     simulator in tests/test_crawl_parity.py
 - sketch dedup (minhash/simhash)  -> rows-only + pytest oracles
 """
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -754,6 +758,7 @@ def _crawl_engine(spark) -> CrawlEngine:
     root = _CRAWLQ_ROOT.get("root")
     if root is None:
         root = tempfile.mkdtemp(prefix="ctmds-crawl-query-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         corpus = synth_corpus(spark, n_pages=40, n_hosts=3, branching=3, seed=42)
         eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
         eng.run(corpus, single_url="https://host0.example/p/0")
@@ -764,16 +769,127 @@ def _crawl_engine(spark) -> CrawlEngine:
 
 def crawl_pages(spark, sf_dir):
     """End-to-end BFS crawl on the deterministic synthetic corpus; returns
-    the pages table (lazy read of the run-scoped store). Parity vs the
-    sequential reference-semantics simulator is asserted in
-    tests/test_crawl_parity.py."""
+    (url, title, content_is_null, discovery_rank) of the pages table (lazy
+    read of the run-scoped store) — everything the DuckDB BFS oracle below
+    can reproduce (page CONTENT embeds seeded-random caption words, so its
+    byte-exactness is pinned against the sequential reference-semantics
+    simulator in tests/test_crawl_parity.py instead)."""
     return _crawl_engine(spark).pages_df().select(
-        "url", "content", "discovery_rank"
+        "url",
+        F.element_at(F.col("metadata"), F.lit("title")).alias("title"),
+        F.col("content").isNull().alias("content_is_null"),
+        "discovery_rank",
     )
 
 
 def crawl_links(spark, sf_dir):
     return _crawl_engine(spark).links_state()
+
+
+def _crawl_bfs_sql(final_select: str, n_pages: int = 40, n_hosts: int = 3,
+                   branching: int = 3, n_waves: int = 12,
+                   stride: int = 1 << 20) -> str:
+    """DuckDB oracle for the deterministic 40-page crawl: the synthetic
+    web graph of crawl/corpus.py synth_corpus_rows re-derived as SQL
+    (every link is a formula of the page id), then wave-BFS with
+    first-write-wins and stride-based discovery_rank — the reference's
+    crawl loop semantics (scraper.py:290-376) — as UNROLLED wave CTEs
+    (one frontier/seen pair per wave; empty waves contribute nothing, so
+    over-unrolling is harmless)."""
+    from .crawl.corpus import _WORDS
+
+    h, b, n = n_hosts, branching, n_pages
+    words_values = ", ".join(f"({i}, '{w}')" for i, w in enumerate(_WORDS))
+    parts = [f"""
+WITH cw_words(wi, w) AS (VALUES {words_values}),
+cw_corpus AS MATERIALIZED (
+  SELECT j,
+    'https://host' || (j % {h}) || '.example' ||
+      (CASE WHEN j % 17 = 5 THEN '/dir' || j || '/' ELSE '/p/' || j END) AS url,
+    (CASE WHEN j % 23 = 7 THEN 404 WHEN j % 29 = 11 THEN 500 ELSE 200 END) AS status,
+    (CASE WHEN j % 19 = 9 THEN 'application/pdf'
+          ELSE 'text/html; charset=utf-8' END) AS content_type,
+    (j % 31 = 13) AS empty_page
+  FROM generate_series(0, {n - 1}) t(j)
+),
+cw_edge_raw AS (
+  -- tree children, in href order (synth_corpus_rows: child = j*b + c);
+  -- relative hrefs resolve to the same absolute URL (urljoin of an
+  -- absolute path), so the resolved link is one formula either way
+  SELECT j AS src_j, c AS ord,
+         'https://host' || ((j*{b}+c) % {h}) || '.example' ||
+         (CASE WHEN (j*{b}+c) % 17 = 5 THEN '/dir' || (j*{b}+c) || '/'
+               ELSE '/p/' || (j*{b}+c) END) AS link
+  FROM cw_corpus, generate_series(1, {b}) s(c) WHERE j*{b}+c < {n}
+  UNION ALL  -- fragment dup, defragged by the engine
+  SELECT j, {b}+1, 'https://host' || (j % {h}) || '.example/p/0'
+  FROM cw_corpus WHERE j % 4 = 1 AND j > 0
+  UNION ALL  -- cycle/dup back-link (same host as SOURCE page)
+  SELECT j, {b}+2, 'https://host' || (j % {h}) || '.example/p/' || (j-1)
+  FROM cw_corpus WHERE j % 6 = 2
+  UNION ALL  -- /logout/ link (no exclude patterns in this config -> valid)
+  SELECT j, {b}+3, 'https://host' || (j % {h}) || '.example/logout/session' || j
+  FROM cw_corpus WHERE j % 8 = 3
+  UNION ALL  -- off-base host (no base_url in this config -> valid)
+  SELECT j, {b}+4, 'https://elsewhere.example/x/' || j
+  FROM cw_corpus WHERE j % 10 = 4
+  UNION ALL  -- dangling link past the corpus
+  SELECT j, {b}+5, 'https://host' || (j % {h}) || '.example/p/' || ({n}+j)
+  FROM cw_corpus WHERE j % 13 = 6
+),
+cw_edges AS MATERIALIZED (
+  SELECT src_j, link,
+         row_number() OVER (PARTITION BY src_j ORDER BY ord) - 1 AS pos
+  FROM cw_edge_raw
+),
+cw_f0 AS MATERIALIZED (SELECT 'https://host0.example/p/0' AS url,
+                 CAST(0 AS BIGINT) AS discovery_rank),
+cw_seen0 AS MATERIALIZED (SELECT url FROM cw_f0)"""]
+    for k in range(1, n_waves + 1):
+        parts.append(f""",
+cw_cand{k} AS MATERIALIZED (
+  -- links of pages FETCHED this wave (= last wave's new frontier rows
+  -- that hit the corpus and pass the status/content-type gate), with
+  -- first-write-wins: min (src_rank, pos) per URL
+  SELECT e.link AS url, fp.discovery_rank AS src_rank, e.pos,
+         row_number() OVER (PARTITION BY e.link
+                            ORDER BY fp.discovery_rank, e.pos) AS rn
+  FROM cw_f{k - 1} fp
+  JOIN cw_corpus c ON c.url = fp.url AND c.status = 200
+                   AND c.content_type LIKE 'text/html%'
+  JOIN cw_edges e ON e.src_j = c.j
+),
+cw_f{k} AS MATERIALIZED (
+  -- anti-join vs everything seen, then dense rank from the wave's stride
+  -- base (engine._next_rank_base: base_k = k * stride while waves stay
+  -- under a stride of links)
+  SELECT url, CAST({k * stride} + row_number() OVER (ORDER BY src_rank, pos)
+              - 1 AS BIGINT) AS discovery_rank
+  FROM cw_cand{k}
+  WHERE rn = 1 AND url NOT IN (SELECT url FROM cw_seen{k - 1})
+),
+cw_seen{k} AS MATERIALIZED (SELECT url FROM cw_seen{k - 1} UNION ALL SELECT url FROM cw_f{k})""")
+    frontier_union = " UNION ALL ".join(
+        f"SELECT * FROM cw_f{k}" for k in range(n_waves + 1)
+    )
+    parts.append(f",\ncw_frontier AS ({frontier_union})\n{final_select}")
+    return "".join(parts)
+
+
+# the crawl runs to frontier exhaustion with no budget, so every frontier
+# row is fetched (and marked visited) in the wave after its discovery
+CRAWL_LINKS_SQL = _crawl_bfs_sql(
+    "SELECT url, TRUE AS visited, discovery_rank FROM cw_frontier"
+)
+
+CRAWL_PAGES_SQL = _crawl_bfs_sql("""
+SELECT f.url, 'Page ' || c.j || ' ' || w.w AS title,
+       c.empty_page AS content_is_null, f.discovery_rank
+FROM cw_frontier f
+JOIN cw_corpus c ON c.url = f.url AND c.status = 200
+                 AND c.content_type LIKE 'text/html%'
+JOIN cw_words w ON w.wi = c.j % 20
+""")
 
 
 def image_invariants(spark, sf_dir):
@@ -872,6 +988,9 @@ ORACLES = {
     "jaccard_pairs_docs": JACCARD_SQL,
     "embedding_topk": EMB_TOPK_SQL,
     "embedding_pairs": EMB_PAIRS_SQL,
-    # crawl_pages / crawl_links / minhash_pairs_docs / simhash_docs:
-    # non-SQL-expressible -> rows-only check; parity covered in pytest.
+    "crawl_pages": CRAWL_PAGES_SQL,
+    "crawl_links": CRAWL_LINKS_SQL,
+    # minhash_pairs_docs / simhash_docs / image_*: genuinely
+    # non-SQL-expressible (sketch UDFs, binary decode) -> rows-only
+    # check; correctness covered by pytest oracles instead.
 }

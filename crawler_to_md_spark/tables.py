@@ -15,6 +15,12 @@ the same subset the reference gets from its SQLite cache file
 - time travel (``read_at``) — the resume path re-opens the last committed
   wave's snapshot (reference resume: scraper.py:278-283).
 
+PORTABILITY: this class is LOCAL-FILESYSTEM-ONLY by design (os.listdir /
+os.replace / pyarrow footer reads on local paths). It stands in for a real
+Iceberg catalog in this jar-less sandbox; on a cluster with hdfs/s3 table
+roots you swap the class, not the engine (the engine touches only
+``append / read / read_delta / snapshots / read_at / rollback_to``).
+
 State updates are APPEND-ONLY LOGS, never in-place row updates: the
 frontier's ``visited`` transition (reference ``UPDATE links SET visited``,
 database_manager.py:93) is an append to a ``visited`` table and an

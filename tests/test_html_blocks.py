@@ -62,9 +62,58 @@ def test_id_selector_first_match_only():
     assert filter_html(doc, include_selectors=["#m"]) == '<div id="m"><p>one</p></div>'
 
 
-def test_self_closing_and_unclosed_are_skipped():
+def test_self_closing_skipped_unclosed_runs_to_eof():
     assert find_blocks('<img src="x"/><p>t</p>', "img") == []
-    assert find_blocks("<div><p>never closed", "div") == []
+    # bs4's html.parser auto-closes an unclosed block tag at document end:
+    # the element's content is everything after the opener
+    doc = "<div><p>never closed"
+    assert [doc[s:e] for s, e in find_blocks(doc, "div")] == [doc]
+    tail = '<p>before</p><div class="x"><p>inside'
+    spans = find_blocks(tail, ".x")
+    assert [tail[s:e] for s, e in spans] == ['<div class="x"><p>inside']
+
+
+# --- dialect-contract tests vs bs4 semantics (reference _find_elements,
+# --- scraper.py:82-98): attribute order, multi-valued class, quote style
+
+
+def test_attribute_order_irrelevant():
+    doc = '<div class="wide" id="m"><p>one</p></div>'
+    assert filter_html(doc, include_selectors=["#m"]) == doc
+    doc2 = '<div id="m" class="wide"><p>one</p></div>'
+    assert filter_html(doc2, include_selectors=["#m"]) == doc2
+
+
+def test_multi_valued_class_matches_token():
+    # soup.find_all(class_='ad') matches class="ad banner" and
+    # class="top ad" and class="top ad bottom", but NOT class="adx"
+    doc = (
+        '<div class="ad banner"><p>a</p></div>'
+        '<div class="top ad"><p>b</p></div>'
+        '<div class="adx"><p>c</p></div>'
+    )
+    spans = find_blocks(doc, ".ad")
+    assert [doc[s:e] for s, e in spans] == [
+        '<div class="ad banner"><p>a</p></div>',
+        '<div class="top ad"><p>b</p></div>',
+    ]
+
+
+def test_single_quoted_attributes():
+    doc = "<div id='m'><p>one</p></div><div class='ad x'><p>two</p></div>"
+    assert filter_html(doc, include_selectors=["#m"]) == \
+        "<div id='m'><p>one</p></div>"
+    spans = find_blocks(doc, ".ad")
+    assert [doc[s:e] for s, e in spans] == ["<div class='ad x'><p>two</p></div>"]
+
+
+def test_single_quoted_hrefs_extracted():
+    from crawler_to_md_spark.functions.html import extract_links
+
+    doc = "<a href='/a'>x</a><a href=\"/b\">y</a>"
+    assert extract_links(doc, "https://h.x/p/1") == [
+        "https://h.x/a", "https://h.x/b",
+    ]
 
 
 def test_tag_selector_word_boundary():

@@ -1,7 +1,14 @@
 """Resume-from-checkpoint (SURVEY.md §5.2 item 3 / reference C6):
 kill after wave k, restart, final state identical to an uninterrupted run.
 Also crash-mid-wave recovery: tables rolled back to the last wave whose
-visited append committed, partial wave re-derived idempotently."""
+commit MARKER landed, partial wave re-derived idempotently — including the
+parallel-commit failure mode where visited is ahead of the marker, and
+stores written by the previous engine version (no marker log)."""
+
+import glob
+import json
+import os
+import shutil
 
 from crawler_to_md_spark.crawl.corpus import synth_corpus
 from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
@@ -96,6 +103,88 @@ def test_metrics_lineage(spark, tmp_path):
     assert all(r["seconds"] > 0 for r in mdf)
     total_pages = sum(r["pages"] for r in mdf)
     assert total_pages == eng.pages_df().count()
+
+
+def test_crash_after_visited_before_marker(spark, tmp_path):
+    """Parallel-commit failure mode: ALL of wave k's table appends landed
+    (including visited) but the crash hit before the marker line — the
+    wave is uncommitted and recovery must roll every table back, visited
+    included, then replay to the same final state."""
+    corpus = _corpus(spark, 40)
+    full = CrawlEngine(spark, str(tmp_path / "full"), CrawlConfig(use_bloom=False))
+    full.run(corpus, single_url="https://host0.example/p/0")
+
+    crash = CrawlEngine(spark, str(tmp_path / "crash"),
+                        CrawlConfig(use_bloom=False, max_waves=1))
+    crash.run(corpus, single_url="https://host0.example/p/0")
+
+    # hand-craft the partial wave 2: pages AND visited appends land, the
+    # marker does not (the crash window unique to parallel commits)
+    eng2 = CrawlEngine(spark, str(tmp_path / "crash"),
+                       CrawlConfig(use_bloom=False))
+    pending = eng2.pending().limit(3).persist()
+    eng2.pages.append(
+        pending.selectExpr(
+            "url_hash", "url", "host", "discovery_rank",
+            "cast(null as string) as content",
+            "map('title','junk') as metadata",
+            "cast(null as string) as page_caption",
+            "cast(null as string) as page_image_id",
+            "cast(null as string) as image_id", "cast(null as binary) as bytes",
+            "cast(null as int) as w", "cast(null as int) as h",
+            "cast(null as string) as fmt", "cast(null as string) as caption",
+            "cast(null as long) as phash", "cast(2 as int) as wave",
+        ),
+        {"wave": 2},
+    )
+    eng2.visited.append(
+        pending.selectExpr(
+            "url_hash", "url", "cast(2 as int) as wave_visited",
+            "'done' as status",
+        ),
+        {"wave": 2},
+    )
+    pending.unpersist()
+    assert eng2.last_committed_wave() == 1  # marker, not visited, decides
+
+    resumed = CrawlEngine(spark, str(tmp_path / "crash"),
+                          CrawlConfig(use_bloom=False))
+    resumed.run(corpus, resume=True)
+    assert _final_state(resumed) == _final_state(full)
+
+
+def test_resume_store_written_by_previous_version(spark, tmp_path):
+    """Cross-version compatibility: a store written by the ROUND-2 engine
+    (no commit-marker log; visited append as commit point) and checked in
+    as a fixture must resume under the current code to the same final
+    state as a fresh full crawl."""
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "store_r2")
+    with open(os.path.join(fixture, "fixture_meta.json")) as f:
+        meta = json.load(f)
+    root = str(tmp_path / "store_r2")
+    shutil.copytree(fixture, root)
+    # relocate: manifests carry absolute datafile paths (as Iceberg
+    # manifests carry absolute URIs); rewrite the generation root
+    for mpath in glob.glob(os.path.join(root, "*", "_manifests", "*.json")):
+        with open(mpath) as f:
+            txt = f.read()
+        with open(mpath, "w") as f:
+            f.write(txt.replace(meta["root"], root))
+
+    corpus = synth_corpus(spark, n_pages=meta["n_pages"],
+                          n_hosts=meta["n_hosts"],
+                          branching=meta["branching"], seed=meta["seed"])
+    cfg = CrawlConfig(use_bloom=True, bloom_shards=4,
+                      bloom_bits_per_shard=1 << 16)
+    eng = CrawlEngine(spark, root, cfg)
+    assert eng.last_committed_wave() == meta["max_waves"]  # legacy fallback
+    eng.run(corpus, resume=True)
+
+    full = CrawlEngine(spark, str(tmp_path / "full"), cfg)
+    full.run(corpus, single_url="https://host0.example/p/0")
+    assert _final_state(eng) == _final_state(full)
+    # the resumed store is upgraded: the marker log now exists
+    assert os.path.exists(os.path.join(root, "commits.jsonl"))
 
 
 def test_resume_inserts_new_seeds(spark, tmp_path):

@@ -101,6 +101,19 @@ def test_global_budget(spark):
     assert sorted(r["discovery_rank"] for r in sel) == list(range(7))
 
 
+def test_global_budget_large_path_matches_small(spark):
+    """Budgets above large_threshold switch to the distributed-rank path
+    (no single-partition global limit); the selected SET is identical."""
+    caches: list = []
+    sel = apply_global_budget(_frontier(spark, 500), 123,
+                              large_threshold=50,
+                              persist_registry=caches).collect()
+    assert sorted(r["discovery_rank"] for r in sel) == list(range(123))
+    assert len(caches) == 1
+    for df in caches:
+        df.unpersist()
+
+
 def test_robots_gate(spark):
     pending = _frontier(spark, 20, hosts=2)
     rules = spark.createDataFrame(

@@ -79,6 +79,64 @@ AUDITED = {
 }
 
 
+def _politeness_frontier(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(2_000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".x/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".x")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.col("id").alias("discovery_rank"),
+    )
+
+
+def _audit_host_quota(spark):
+    from crawler_to_md_spark.operators.politeness import apply_host_quota
+
+    return apply_host_quota(_politeness_frontier(spark), per_host_budget=10)
+
+
+def _audit_global_budget_large(spark):
+    from crawler_to_md_spark.operators.politeness import apply_global_budget
+
+    caches: list = []
+    df = apply_global_budget(_politeness_frontier(spark), budget=1_500_000,
+                             large_threshold=1_000_000,
+                             persist_registry=caches)
+    return df
+
+
+# operator-level audits (not QUERIES entries): builder -> plan assertions.
+# `expect_analyzed` / `forbid_analyzed` run against explain('extended')
+# (hints are visible only pre-optimization).
+AUDITED_OPS = {
+    "politeness_host_quota": {
+        "build": _audit_host_quota,
+        "expect": [],
+        "forbid": [],
+        # no FORCED broadcast of the per-host count table: one row per
+        # distinct host is multi-GB at a 10^8-host frontier. AQE may still
+        # CHOOSE broadcast from runtime stats — that is the point.
+        "forbid_analyzed": ["ResolvedHint"],
+        "note": "per-host counts join carries no broadcast hint "
+                "(AQE decides from runtime size)",
+    },
+    "politeness_global_budget_large": {
+        "build": _audit_global_budget_large,
+        # large budgets rank via range partition + per-partition offsets:
+        # no GlobalLimit funnel, no single-partition exchange
+        "expect": [],
+        "forbid": ["GlobalLimit", "CollectLimit", "SinglePartition"],
+        "forbid_analyzed": [],
+        "note": "budget > threshold takes the distributed-rank path: "
+                "filter on a range-partitioned rank, never a global limit",
+    },
+}
+
+
 def main() -> None:
     spark = get_spark("plan-audit")
     sections = []
@@ -107,6 +165,27 @@ def main() -> None:
         sections.append(
             f"## {name} — {status}\n\n{spec['note']}\n\n```\n{plan}\n```\n"
         )
+    for name, spec in AUDITED_OPS.items():
+        df = spec["build"](spark)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            df.explain("extended")
+        analyzed = buf2.getvalue()
+        missing = [e for e in spec["expect"] if e not in plan]
+        present = [f for f in spec["forbid"] if f in plan]
+        present += [f"{f} (analyzed)" for f in spec["forbid_analyzed"]
+                    if f in analyzed]
+        ok = not (missing or present)
+        if not ok:
+            failures.append((name, missing, present))
+        status = "OK" if ok else f"FAIL missing={missing} forbidden={present}"
+        sections.append(
+            f"## {name} — {status}\n\n{spec['note']}\n\n```\n{plan}\n```\n"
+        )
     header = (
         "# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n"
         f"sf_dir={SF_DIR}. Asserted properties: predicate pushdown reaches\n"
@@ -118,7 +197,8 @@ def main() -> None:
         f.write(header + "\n".join(sections))
     for name, missing, present in failures:
         print(f"FAIL {name}: missing={missing} forbidden={present}")
-    print(f"{len(AUDITED) - len(failures)}/{len(AUDITED)} plan audits ok")
+    n_total = len(AUDITED) + len(AUDITED_OPS)
+    print(f"{n_total - len(failures)}/{n_total} plan audits ok")
     sys.exit(1 if failures else 0)
 
 
