@@ -120,7 +120,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.proxy:
         from .sources.http_fetch import probe_proxy
 
-        probe_proxy(args.proxy)  # scraper.py:70-80 precondition
+        try:
+            probe_proxy(args.proxy)  # scraper.py:70-80 precondition
+        except ValueError as exc:
+            # reference parity: an unreachable proxy aborts the run
+            # (reference tests/test_cli.py:189-208 expects a SystemExit)
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
 
     spark = get_spark("crawler-to-md-spark", master=args.master)
     fetch_fn = None

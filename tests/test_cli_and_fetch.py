@@ -140,3 +140,53 @@ def test_probe_proxy_unreachable(bad):
 
     with pytest.raises(ValueError):
         probe_proxy(bad, timeout_s=0.5)
+
+
+@pytest.mark.parametrize("flag,proxy_url", [
+    ("--proxy", "http://proxy:8080"),
+    ("-p", "http://proxy:8080"),
+    ("--proxy", "socks5://localhost:9050"),
+])
+def test_cli_proxy_url_passed_through(spark, tmp_path, monkeypatch,
+                                      flag, proxy_url):
+    """Reference parity (tests/test_cli.py:54-186): --proxy / -p values —
+    http and socks5 URL forms alike — reach the fetcher VERBATIM (the
+    reference hands the string to requests' proxies dict unchanged)."""
+    import crawler_to_md_spark.sources.http_fetch as hf
+
+    captured = {}
+    monkeypatch.setattr(hf, "probe_proxy", lambda url, timeout_s=5.0:
+                        captured.setdefault("probed", url))
+
+    real_default = hf.default_fetch_fn
+
+    def capture_default(proxy=None, timeout_s=10.0):
+        captured["proxy"] = proxy
+        return lambda url: (-1, "", None)  # every fetch fails -> 1 wave
+
+    monkeypatch.setattr(hf, "default_fetch_fn", capture_default)
+    rc = cli_main([
+        "--url", "https://host0.example/p/0",
+        "--live",
+        "--output-folder", str(tmp_path / "out"),
+        "--cache-folder", str(tmp_path / "cache"),
+        "--master", "local[4]",
+        flag, proxy_url,
+    ])
+    assert rc == 0
+    assert captured["probed"] == proxy_url
+    assert captured["proxy"] == proxy_url
+    monkeypatch.setattr(hf, "default_fetch_fn", real_default)
+
+
+def test_cli_unreachable_proxy_aborts(tmp_path):
+    """Reference parity (tests/test_cli.py:189-208): an unreachable proxy
+    aborts the run before any crawl work."""
+    rc = cli_main([
+        "--url", "https://host0.example/p/0",
+        "--live",
+        "--output-folder", str(tmp_path / "out"),
+        "--cache-folder", str(tmp_path / "cache"),
+        "--proxy", "http://127.0.0.1:1/nope",
+    ])
+    assert rc == 2
