@@ -1,0 +1,74 @@
+"""Unit tests for bench.py's scaling statistics (no Spark): the
+clean-round criterion (burn ratio AND steal ceiling), per-level
+min-merging, and the steal-percentage arithmetic."""
+
+import importlib.util
+import os
+import sys
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench.py")
+spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+bench = importlib.util.module_from_spec(spec)
+sys.modules.setdefault("bench_mod", bench)
+spec.loader.exec_module(bench)
+
+
+def _run(cpus, crawl_s, steady_s, dedup_s, hw, steal=0.0):
+    pages, cands = 1_000_000, bench.DEDUP_CANDIDATES
+    steady_sel = 733_695
+    return {
+        "cpus": cpus,
+        "urls_fetched": pages,
+        "crawl_seconds": crawl_s,
+        "urls_per_sec": round(pages / crawl_s, 1),
+        "steady_wave_selected": steady_sel,
+        "steady_wave_seconds": steady_s,
+        "steady_urls_per_sec": round(steady_sel / steady_s, 1),
+        "steady_phases": {"dedup_rank": steady_s * 0.9},
+        "crawl_steal_pct": steal,
+        "dedup_steal_pct": steal,
+        "dedup_candidates": cands,
+        "dedup_new": cands // 2,
+        "dedup_seconds": dedup_s,
+        "dedup_per_sec": round(cands / dedup_s, 1),
+        "hw_miters_per_sec": hw,
+    }
+
+
+def test_steal_pct_window_math():
+    assert bench._steal_pct((1000, 100), (2000, 200)) == 10.0
+    assert bench._steal_pct((1000, 100), (1000, 100)) == 0.0  # empty window
+
+
+def test_round_clean_requires_burn_and_steal():
+    lo = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5)
+    hi = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5)
+    r = bench._round_effs(lo, hi)
+    assert r["clean"] is True
+    assert r["efficiency"] == 0.8
+    # a storm during the hi crawl window breaks cleanliness even when the
+    # post-job burn still reports a full grant (observed on this host:
+    # 27.6% steal mid-crawl, burn ratio 3.96 afterwards)
+    hi_storm = _run(8, 60.0, 25.0, 8.0, hw=56.0, steal=27.6)
+    r2 = bench._round_effs(lo, hi_storm)
+    assert r2["clean"] is False
+    # a throttled burn breaks cleanliness too
+    hi_slowburn = _run(8, 25.0, 9.0, 8.0, hw=30.0, steal=0.5)
+    assert bench._round_effs(lo, hi_slowburn)["clean"] is False
+
+
+def test_merge_runs_per_metric_minima():
+    a = _run(8, 50.0, 20.0, 10.0, hw=40.0, steal=5.0)
+    b = _run(8, 40.0, 25.0, 12.0, hw=55.0, steal=1.0)
+    m = bench._merge_runs([a, b])
+    assert m["crawl_seconds"] == 40.0 and m["crawl_steal_pct"] == 1.0
+    assert m["steady_wave_seconds"] == 20.0
+    assert m["dedup_seconds"] == 10.0 and m["dedup_steal_pct"] == 5.0
+    assert m["hw_miters_per_sec"] == 55.0
+
+
+def test_proc_cpu_readable_and_monotonic():
+    w0, s0 = bench._proc_cpu()
+    w1, s1 = bench._proc_cpu()
+    assert w1 >= w0 >= 0 and s1 >= s0 >= 0
