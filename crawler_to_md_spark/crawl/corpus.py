@@ -169,21 +169,28 @@ def synth_corpus(
 
 def _distributed_html(pid, n_pages: int, n_hosts: int, branching: int):
     """The bench page's HTML as a pure column expression of its page id —
-    shared by the table generator and the column-level fetch function."""
-    def child_url(c: int):
-        cid = pid * branching + F.lit(c)
-        chost = F.concat(
-            F.lit("host"), (cid % n_hosts).cast("string"), F.lit(".example")
-        )
+    shared by the table generator and the column-level fetch function.
+
+    The anchor list is ONE ``transform(sequence(...))`` lambda, not
+    ``branching`` unrolled concat branches: the fetch expression rides in
+    EVERY wave's plan, and at branching=64 the unrolled form was a
+    ~1300-node tree that Catalyst re-analyzed and AQE re-optimized several
+    times per wave — measured ~2-4s of driver time per wave, a fixed cost
+    that cannot be parallelized away and directly caps N->4N scaling."""
+    def child_anchor(c):
+        cid = pid * branching + c
         return F.when(
             cid < n_pages,
             F.concat(
-                F.lit('<a href="https://'), chost, F.lit("/p/"),
+                F.lit('<a href="https://host'),
+                (cid % n_hosts).cast("string"), F.lit(".example/p/"),
                 cid.cast("string"), F.lit('">c</a>'),
             ),
         ).otherwise(F.lit(""))
 
-    anchors = F.concat(*[child_url(c) for c in range(1, branching + 1)])
+    anchors = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(1), F.lit(branching)), child_anchor)
+    )
     prev_host = F.concat(
         F.lit("host"), ((pid - 1) % n_hosts).cast("string"), F.lit(".example")
     )

@@ -57,6 +57,9 @@ from ..operators.seen import BloomSeenSet, anti_join_new
 from ..tables import SnapshotTable
 
 _RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
+# first-write-wins order-key packing: okey = src_rank * 2^20 + min(pos, 2^20-1)
+_OKEY_POS_BITS = 20
+_OKEY_POS_SPAN = 1 << _OKEY_POS_BITS
 
 
 def _npart(n_rows: int, rows_per_file: int = 50_000, cap: int = 32) -> int:
@@ -125,6 +128,12 @@ class CrawlEngine:
         # rank totals) so the next wave never runs a count() job.
         self._fast_next: DataFrame | None = None
         self._fast_next_count: int | None = None
+        # the delta's parquet file count: when it already matches the
+        # cluster parallelism, the per-row fetch path skips its
+        # parallelism-restoring repartition (one less shuffle + AQE stage
+        # per wave — the fixed driver cost per stage is what caps N->4N
+        # scaling once the parallel work is balanced)
+        self._fast_next_nfiles: int | None = None
         # the delta's discovery_rank lower bound (ranks are contiguous in
         # [lo, lo+count)): lets the wave derive deterministic rank buckets
         # instead of paying repartitionByRange's sampling recompute
@@ -197,6 +206,7 @@ class CrawlEngine:
         self._fast_next = self.frontier.read_delta(self.spark, manifest)
         self._fast_next_count = n_seeds
         self._fast_next_lo = 0
+        self._fast_next_nfiles = len(manifest["delta_files"])
 
     def seed_if_new(self, seeds: list[str] | None = None,
                     single_url: str | None = None) -> int:
@@ -378,9 +388,11 @@ class CrawlEngine:
             pending_cached = True
             n_selected = pending.count()
         rank_lo = self._fast_next_lo if fast else None
+        fast_nfiles = self._fast_next_nfiles if fast else None
         self._fast_next = None
         self._fast_next_count = None
         self._fast_next_lo = None
+        self._fast_next_nfiles = None
         tick("select")
         if n_selected == 0:
             pending.unpersist()
@@ -400,10 +412,16 @@ class CrawlEngine:
             # delta read and the scrape/link map work, so map parallelism
             # would equal the delta's FILE count (sized for storage, e.g.
             # 1 file for a small wave = one task for the whole wave).
-            # One cheap shuffle of bare URL rows restores full parallelism.
-            pending = pending.repartition(
-                self.spark.sparkContext.defaultParallelism
-            )
+            # One cheap shuffle of bare URL rows restores full parallelism
+            # — SKIPPED when the delta's file count already matches the
+            # cluster parallelism (the steady-wave case: _npart caps at
+            # defaultParallelism), saving a shuffle + an AQE stage of
+            # fixed driver cost per wave.
+            if (fast_nfiles is None
+                    or fast_nfiles < self.spark.sparkContext.defaultParallelism):
+                pending = pending.repartition(
+                    self.spark.sparkContext.defaultParallelism
+                )
         if corpus is not None:
             corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
             fetched = pending.join(
@@ -433,9 +451,29 @@ class CrawlEngine:
         ok = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
         fetched = fetched.withColumn(
             "_gate", F.when(ok.isNull(), F.lit(False)).otherwise(ok)
-        ).persist()
+        )
+        # HTML never enters a cache: building a columnar cache of the raw
+        # pages (~0.4 KB/row compressed + decompression on every read) was
+        # the steady wave's single hottest stage, and it is pure memory
+        # traffic — the component that scales WORST across cores on a
+        # bandwidth-shared host. Deterministic fetch paths (corpus join /
+        # column-level fetch fn) instead persist only the narrow visited
+        # projection and let its materialization re-run the fetch with
+        # the html column PRUNED away (column pruning reaches the corpus
+        # cache scan / drops the html-building exprs entirely). The live
+        # HTTP path cannot re-fetch, so it alone keeps the full-row cache.
+        recomputable = corpus is not None or cfg.fetch_df_fn is not None
+        if recomputable:
+            visited_src = fetched.select("url_hash", "url", "_gate").persist()
+        else:
+            fetched = fetched.persist()
+            visited_src = fetched
+        wave_caches.append(visited_src)
 
-        # ---- scrape stage (single pass over HTML: content + links)
+        # ---- scrape stage (single pass over HTML: content + links); the
+        # raw html column is dropped before the cache — no consumer reads
+        # it (links use _s.links, pages use _s.content), and it would
+        # triple the cache's byte volume
         scrape = make_scrape_udf(
             cfg.include_selectors or None,
             cfg.exclude_selectors or None,
@@ -444,6 +482,7 @@ class CrawlEngine:
         scraped = (
             fetched.filter(F.col("_gate"))
             .withColumn("_s", scrape(F.col("html"), F.col("url")))
+            .drop("html")
             .persist()
         )
 
@@ -459,7 +498,6 @@ class CrawlEngine:
                 scraped.select(
                     F.col("discovery_rank").alias("src_rank"),
                     F.col("depth").alias("src_depth"),
-                    F.col("url").alias("src_url"),
                     F.posexplode_outer(F.col("_s.links")).alias("pos", "href"),
                 )
                 .filter(F.col("href").isNotNull())
@@ -473,24 +511,35 @@ class CrawlEngine:
                 .select(
                     url_hash(F.col("link")).alias("url_hash"),
                     F.col("link").alias("url"),
-                    host_of(F.col("link")).alias("host"),
+                    # first-write-wins order key (src_rank, pos) PACKED
+                    # into one long: min(long) + min_by(long, long) run as
+                    # a map-side-combining HashAggregate, where the
+                    # previous min(struct(...)) fell back to SortAggregate
+                    # — two full sorts of the exploded candidate stream
+                    # (wave_selected x branching rows) per wave. Bound:
+                    # src_rank < 2^43 with pos capped at 2^20-1; links
+                    # past the millionth position on ONE page collapse to
+                    # the same key (dedup stays exact; only intra-page
+                    # discovery order beyond that point is arbitrary).
+                    ((F.col("src_rank") * _OKEY_POS_SPAN)
+                     + F.least(F.col("pos"),
+                               F.lit(_OKEY_POS_SPAN - 1))).alias("okey"),
                     (F.col("src_depth") + 1).alias("depth"),
-                    "src_rank", "pos",
                 )
             )
-            # first-write-wins within the wave: lexicographic min of
-            # (src_rank, pos) per URL == earliest discovery
             links = (
                 links.groupBy("url_hash", "url")
                 .agg(
-                    F.min(F.struct("src_rank", "pos", "depth", "host")).alias("o")
+                    F.min("okey").alias("okey"),
+                    F.min_by("depth", "okey").alias("depth"),
                 )
                 .select(
                     "url_hash", "url",
-                    F.col("o.host").alias("host"),
-                    F.col("o.depth").alias("depth"),
-                    F.col("o.src_rank").alias("src_rank"),
-                    F.col("o.pos").alias("pos"),
+                    host_of(F.col("url")).alias("host"),
+                    "depth",
+                    F.shiftright("okey", _OKEY_POS_BITS).alias("src_rank"),
+                    F.col("okey").bitwiseAND(_OKEY_POS_SPAN - 1).alias("pos"),
+                    "okey",
                 )
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
@@ -501,9 +550,16 @@ class CrawlEngine:
                 # src_rank of every discovered link lies in this wave's
                 # pending stride [rank_lo, rank_lo + n_selected) — derive
                 # order-aligned rank buckets driver-side (monotonic in
-                # (src_rank, pos)), skipping repartitionByRange's sampling
-                # pass which would recompute fetch+scrape+dedup twice
-                nb = self.spark.sparkContext.defaultParallelism
+                # okey == (src_rank, pos)), skipping repartitionByRange's
+                # sampling pass which would recompute fetch+scrape+dedup.
+                # 4x MORE buckets than partitions: the rank shuffle hashes
+                # bucket ids into partitions, and hashing nb ids into nb
+                # partitions leaves ~37% of partitions EMPTY (at 2
+                # partitions, a coin flip serializes the whole next wave
+                # onto one core); 4x oversampling balances occupancy and
+                # keeps the delta's file count == parallelism so the next
+                # wave's repartition skip stays active
+                nb = 4 * self.spark.sparkContext.defaultParallelism
                 span = max(1, n_selected)
                 bucket = F.least(
                     F.lit(nb - 1),
@@ -514,7 +570,7 @@ class CrawlEngine:
                     ),
                 )
             ranked, n_new, pinned = with_global_rank(
-                new_links, ["src_rank", "pos"], "wrank",
+                new_links, ["okey"], "wrank",
                 start=0, bucket_col=bucket,
             )
             tick("dedup_rank")
@@ -584,7 +640,7 @@ class CrawlEngine:
 
         def _commit_visited() -> None:
             t = time.time()
-            visited_rows = fetched.select(
+            visited_rows = visited_src.select(
                 "url_hash", "url",
                 F.lit(wave).alias("wave_visited"),
                 F.when(F.col("_gate"), F.lit("done"))
@@ -616,6 +672,7 @@ class CrawlEngine:
                 )
                 self._fast_next_count = n_new
                 self._fast_next_lo = base
+                self._fast_next_nfiles = len(results["frontier"]["delta_files"])
             elif n_new == 0 and not constrained:
                 # nothing discovered: next wave terminates with zero jobs
                 self._fast_next = None
@@ -637,7 +694,6 @@ class CrawlEngine:
             (wave, n_selected, int(n_pages), int(n_new), float(dt))
         )
         scraped.unpersist()
-        fetched.unpersist()
         if pending_cached:
             pending_src.unpersist()
         return m
@@ -680,6 +736,7 @@ class CrawlEngine:
             self._fast_next = None  # recovery must re-derive via anti-join
             self._fast_next_count = None
             self._fast_next_lo = None
+            self._fast_next_nfiles = None
             start_wave = self.recover() + 1
             # reference parity: every run re-validates + INSERT-OR-IGNOREs
             # the seed list into the existing store (scraper.py:258-272),

@@ -39,10 +39,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _footer_rows(files: list[str]) -> int:
     """Sum of num_rows across parquet footers — the Iceberg-manifest
-    record-count analog, read driver-side in milliseconds."""
+    record-count analog, read driver-side in milliseconds. Non-local table
+    roots (s3://, hdfs://) resolve through the pyarrow filesystem for the
+    URI instead of assuming the local FS (ADVICE r2)."""
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    total = 0
+    for f in files:
+        if "://" in f:
+            from pyarrow import fs as pafs
+
+            filesystem, path = pafs.FileSystem.from_uri(f)
+            total += pq.ParquetFile(path, filesystem=filesystem).metadata.num_rows
+        else:
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 class SnapshotTable:
