@@ -47,6 +47,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 DEDUP_CANDIDATES = int(os.environ.get("SPARK_GRAFT_BENCH_CANDS", "12000000"))
+# out-links per page. 128 is the realistic order for production web pages
+# (50-150 links) and keeps the crawl at 4 waves for 10^6 pages, so the
+# steady-state wave covers ~98% of the corpus and per-wave barrier costs
+# amortize the way they would on a long production crawl.
+CRAWL_BRANCHING = int(os.environ.get("SPARK_GRAFT_BENCH_BRANCHING", "128"))
 # N vs 4N parallelism pair. Default 2->8: a coordination-free burn test
 # shows this sandbox's 32 advertised vCPUs deliver only ~2.1-2.9x the
 # compute of 8 (shared host cores), so 8->32 cannot evidence scaling on
@@ -134,11 +139,12 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # the corpus-join simulation, whose per-wave full-corpus cache scan is
     # a sandbox artifact the bench must not measure. Equivalence of the
     # two fetch modes is pinned by test_fetch_df_fn_matches_corpus_join.
-    # branching=64 keeps the wave count low so throughput reflects
+    # CRAWL_BRANCHING keeps the wave count low so throughput reflects
     # steady-state work, not wave-barrier overhead.
     def cfg_for(pages):
-        return CrawlConfig(use_bloom=True, profile=True,
-                           fetch_df_fn=synth_fetch_df_fn(pages, 64, 64))
+        return CrawlConfig(
+            use_bloom=True, profile=True,
+            fetch_df_fn=synth_fetch_df_fn(pages, 64, CRAWL_BRANCHING))
 
     # warmup (untimed): JVM codegen + Python UDF workers + shuffle paths
     with tempfile.TemporaryDirectory() as wroot:
@@ -297,7 +303,7 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "# BENCH/BASELINE — measured numbers",
         "",
         f"Generated by bench.py (corpus={CRAWL_PAGES} pages, "
-        f"dedup candidates={DEDUP_CANDIDATES}).",
+        f"branching={CRAWL_BRANCHING}, dedup candidates={DEDUP_CANDIDATES}).",
         "",
         f"| metric | {ln} (N) | {hn} (4N) | eff median (clean rounds) | eff best |",
         "|---|---|---|---|---|",

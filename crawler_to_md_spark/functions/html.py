@@ -50,21 +50,35 @@ def _attr_group(m: re.Match) -> str:
 _TAG_RE = re.compile(r"<[^>]+>")
 _HEADER_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>", re.IGNORECASE | re.DOTALL)
 _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
+_HEAD_RE = re.compile(r"<head>.*?</head>", re.IGNORECASE | re.DOTALL)
 
 
 def extract_hrefs(html: str) -> list[str]:
     """All a[href] values in document order (duplicates kept; the caller
-    dedups per the parity ordering contract)."""
-    return [_attr_group(m) for m in _HREF_RE.finditer(html or "")]
+    dedups per the parity ordering contract).
+
+    findall, not finditer: exactly one of the two quote-style groups
+    participates per match, and a non-participating group comes back ""
+    — so `a if a else b` picks the participating value (when the real
+    value IS "", both are "" and the result is still correct). Saves a
+    Match object + two .group() calls per href in the hot scrape path."""
+    return [a if a else b for a, b in _HREF_RE.findall(html or "")]
 
 
 def extract_links(html: str, page_url: str) -> list[str]:
     """Absolute out-links in first-occurrence document order, urljoined
-    against the page URL (scraper.py:161) and de-duplicated."""
+    against the page URL (scraper.py:161) and de-duplicated.
+
+    Already-absolute http(s) hrefs skip urljoin — identical output
+    (urljoin(base, abs) == abs for http/https), and urljoin is the
+    scrape stage's hottest call at ~100 links/page."""
     seen: set[str] = set()
     out: list[str] = []
     for href in extract_hrefs(html):
-        absolute = urljoin(page_url, href)
+        if href.startswith("https://") or href.startswith("http://"):
+            absolute = href
+        else:
+            absolute = urljoin(page_url, href)
         if absolute not in seen:
             seen.add(absolute)
             out.append(absolute)
@@ -194,7 +208,7 @@ def html_to_markdown(html: str) -> str:
     """
     doc = html or ""
     # drop head section entirely (title is metadata, not content)
-    doc = re.sub(r"<head>.*?</head>", "", doc, flags=re.DOTALL | re.IGNORECASE)
+    doc = _HEAD_RE.sub("", doc)
     pieces: list[tuple[int, str]] = []
     for m in _HEADER_RE.finditer(doc):
         level = int(m.group(1))

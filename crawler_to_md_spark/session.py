@@ -40,7 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # 10k-row Arrow batches, not 100k: a batch of raw HTML rows is
+        # ~60 MB at 10k — at 100k each Python worker held ~600 MB of
+        # strings per in-flight batch (8 workers -> ~5 GB of transient
+        # allocation per wave), measurably degrading multi-worker scaling
+        # on shared-memory-bandwidth hosts; smaller batches also pipeline
+        # JVM->Python->JVM transfer with compute
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
