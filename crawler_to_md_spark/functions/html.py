@@ -15,6 +15,10 @@ Reference semantics preserved:
   (scraper.py:152-161), de-duplicated per page (set(), scraper.py:171 —
   we pin first-occurrence-in-document order as the parity ordering
   contract, SURVEY.md §8.1);
+- comment / script / style spans are blanked before every extraction
+  pass (sanitize_html): bs4 parses them as Comment / raw-text nodes, so
+  tags inside them are never elements — a commented-out <a href> is not
+  a link and a commented <h1> is not content;
 - include-selector projection: matched blocks in selector-then-document
   order (scraper.py:194-211); '#id' matches FIRST id match only,
   '.class' and 'tag' match all (scraper.py:82-98);
@@ -51,6 +55,26 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _HEADER_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>", re.IGNORECASE | re.DOTALL)
 _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
 _HEAD_RE = re.compile(r"<head>.*?</head>", re.IGNORECASE | re.DOTALL)
+# comment / script / style spans: bs4 parses these as Comment nodes or
+# raw-text elements, so tags INSIDE them are never elements (an <a href>
+# in a comment is not a link, a commented <h1> is not content). An
+# unterminated comment or raw-text element swallows the rest of the
+# document (html.parser auto-closes at EOF) — the (?:...|$) alternates.
+_NONMARKUP_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<script\b[^>]*>.*?(?:</script\s*>|$)"
+    r"|<style\b[^>]*>.*?(?:</style\s*>|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sanitize_html(html: str) -> str:
+    """Blank out comment/script/style spans with SPACES — offset-preserving
+    (find_blocks spans and markdown piece ordering index into the same
+    string), so every downstream regex sees the document bs4 would expose
+    as markup. Text the spans contained contributes whitespace only, like
+    bs4's Comment / raw-text nodes contribute nothing to get_text()."""
+    return _NONMARKUP_RE.sub(lambda m: " " * len(m.group(0)), html or "")
 
 
 def extract_hrefs(html: str) -> list[str]:
@@ -74,7 +98,7 @@ def extract_links(html: str, page_url: str) -> list[str]:
     scrape stage's hottest call at ~100 links/page."""
     seen: set[str] = set()
     out: list[str] = []
-    for href in extract_hrefs(html):
+    for href in extract_hrefs(sanitize_html(html)):
         if href.startswith("https://") or href.startswith("http://"):
             absolute = href
         else:
@@ -234,8 +258,9 @@ def scrape_page(
     """(markdown|None, title, caption|None, image_id|None) — the reference's
     scrape_page contract (scraper.py:176-245): selector filtering, title
     from the ORIGINAL doc, empty markdown -> None."""
-    title = extract_title(html)
-    filtered = filter_html(html, include_selectors, exclude_selectors)
+    doc = sanitize_html(html)
+    title = extract_title(doc)
+    filtered = filter_html(doc, include_selectors, exclude_selectors)
     md = html_to_markdown(filtered)
     caption = extract_caption(filtered)
     image_id = extract_image_id(filtered)

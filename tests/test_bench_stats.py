@@ -14,7 +14,7 @@ sys.modules.setdefault("bench_mod", bench)
 spec.loader.exec_module(bench)
 
 
-def _run(cpus, crawl_s, steady_s, dedup_s, hw, steal=0.0):
+def _run(cpus, crawl_s, steady_s, dedup_s, hw, steal=0.0, bw=None):
     pages, cands = 1_000_000, bench.DEDUP_CANDIDATES
     steady_sel = 733_695
     return {
@@ -33,6 +33,8 @@ def _run(cpus, crawl_s, steady_s, dedup_s, hw, steal=0.0):
         "dedup_seconds": dedup_s,
         "dedup_per_sec": round(cands / dedup_s, 1),
         "hw_miters_per_sec": hw,
+        # default: bandwidth tracks the compute grant (clean shape)
+        "bw_gb_per_sec": bw if bw is not None else hw * 4.0,
     }
 
 
@@ -56,6 +58,14 @@ def test_round_clean_requires_burn_and_steal():
     # a throttled burn breaks cleanliness too
     hi_slowburn = _run(8, 25.0, 9.0, 8.0, hw=30.0, steal=0.5)
     assert bench._round_effs(lo, hi_slowburn)["clean"] is False
+    # a bandwidth-starved 4N level breaks cleanliness even when compute
+    # grant and steal both look clean (co-tenant bandwidth/LLC contention
+    # is invisible to the other two telemetry channels)
+    hi_bwstarved = _run(8, 45.0, 20.0, 8.0, hw=56.0, steal=0.5, bw=100.0)
+    lo_bw = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5, bw=60.0)
+    r3 = bench._round_effs(lo_bw, hi_bwstarved)
+    assert r3["bw_ratio_low_to_high"] < bench.CLEAN_BW_RATIO
+    assert r3["clean"] is False
 
 
 def test_merge_runs_per_metric_minima():

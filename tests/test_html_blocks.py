@@ -121,3 +121,67 @@ def test_tag_selector_word_boundary():
     doc = "<pre>code</pre><p>text</p>"
     spans = find_blocks(doc, "p")
     assert [doc[s:e] for s, e in spans] == ["<p>text</p>"]
+
+
+# --- comment / script / style sanitization (bs4 non-markup spans) ---------
+# bs4 parses comments as Comment nodes and script/style as raw-text
+# elements: tags inside them are NEVER elements. The regex dialect
+# reproduces that by blanking those spans (offset-preserving) before any
+# extraction pass (functions/html.py sanitize_html).
+
+from crawler_to_md_spark.functions.html import (  # noqa: E402
+    extract_links,
+    extract_title,
+    sanitize_html,
+    scrape_page,
+)
+
+
+def test_commented_link_not_extracted():
+    html = ('<html><body><a href="https://a.example/x">real</a>'
+            '<!-- <a href="https://a.example/hidden">no</a> --></body></html>')
+    assert extract_links(html, "https://a.example/") == ["https://a.example/x"]
+
+
+def test_script_and_style_links_not_extracted():
+    html = ('<html><body><script>var s = \'<a href="https://a.example/js">x</a>\';'
+            '</script><style>/* <a href="https://a.example/css">y</a> */</style>'
+            '<a href="https://a.example/real">r</a></body></html>')
+    assert extract_links(html, "https://a.example/") == ["https://a.example/real"]
+
+
+def test_commented_heading_not_in_markdown():
+    html = ('<html><body><h1>Real</h1><!-- <h2>Ghost</h2> -->'
+            '<p>text</p></body></html>')
+    md, title, _, _ = scrape_page(html)
+    assert md == "# Real\n\ntext"
+
+
+def test_commented_title_ignored():
+    html = ("<html><head><!-- <title>Ghost</title> --><title>Real</title>"
+            "</head><body><p>x</p></body></html>")
+    assert extract_title(sanitize_html(html)) == "Real"
+    _, title, _, _ = scrape_page(html)
+    assert title == "Real"
+
+
+def test_unterminated_comment_swallows_rest():
+    # html.parser auto-closes an unterminated comment at EOF: everything
+    # after <!-- is comment text, not markup
+    html = ('<html><body><a href="https://a.example/x">r</a>'
+            '<!-- <a href="https://a.example/tail">no</a>')
+    assert extract_links(html, "https://a.example/") == ["https://a.example/x"]
+
+
+def test_selector_not_matched_inside_comment():
+    html = ('<html><body><!-- <div class="main"><p>ghost</p></div> -->'
+            '<div class="main"><p>real</p></div></body></html>')
+    md, _, _, _ = scrape_page(html, include_selectors=[".main"])
+    assert md == "real"
+
+
+def test_sanitize_preserves_offsets():
+    html = '<p>a</p><!-- xx --><p>b</p>'
+    s = sanitize_html(html)
+    assert len(s) == len(html)
+    assert s.index("<p>b</p>") == html.index("<p>b</p>")
