@@ -82,3 +82,26 @@ def test_proc_cpu_readable_and_monotonic():
     w0, s0 = bench._proc_cpu()
     w1, s1 = bench._proc_cpu()
     assert w1 >= w0 >= 0 and s1 >= s0 >= 0
+
+
+def test_okey_packing_order_isomorphism():
+    """The packed first-write-wins key (engine._OKEY_POS_SPAN) must order
+    exactly like the (src_rank, pos) tuple it replaces, and decode back,
+    for every in-bound pair; out-of-bound pos values clamp to the span
+    ceiling (dedup stays exact, only intra-page order past 2^20 links
+    degrades — the documented bound)."""
+    from crawler_to_md_spark.crawl.engine import (
+        _OKEY_POS_BITS,
+        _OKEY_POS_SPAN,
+    )
+
+    pairs = [(r, p) for r in (0, 1, 7, 2**20, 2**43 - 1)
+             for p in (0, 1, 63, _OKEY_POS_SPAN - 1)]
+    keys = [(r * _OKEY_POS_SPAN + min(p, _OKEY_POS_SPAN - 1), (r, p))
+            for r, p in pairs]
+    assert sorted(k for k, _ in keys) == [k for k, _ in sorted(
+        keys, key=lambda kv: kv[1])]
+    for k, (r, p) in keys:
+        assert k >> _OKEY_POS_BITS == r
+        assert k & (_OKEY_POS_SPAN - 1) == min(p, _OKEY_POS_SPAN - 1)
+        assert k < 2**63  # fits a Spark LongType
