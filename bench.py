@@ -144,7 +144,9 @@ def _bw_calibration(n_workers: int, seconds: float = 1.0) -> float:
     import multiprocessing as mp
 
     best = 0.0
-    for _ in range(2):
+    # 3 samples, max kept: the FIRST sample after idle is ~100x slow
+    # (host-side first-touch page allocation), later samples are honest
+    for _ in range(3):
         with mp.Pool(n_workers) as pool:
             t0 = time.time()
             total = sum(pool.map(_bw_burn, [seconds] * n_workers))

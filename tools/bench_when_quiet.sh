@@ -41,6 +41,7 @@ def bw(workers):
         tot = sum(p.map(bw_burn, [1.0]*workers))
         return tot / (time.time()-t0) / 1e9
 
+bw(8)  # warmup: first-touch host page allocation makes sample 1 ~100x slow
 r = round(bw(8) / max(bw(2), 1e-9), 2)
 ok = steal < 3.0 and r >= 3.0
 print(f"{'OK' if ok else 'WAIT'} steal={steal}% bw_ratio={r}")
