@@ -71,6 +71,10 @@ CLEAN_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_STEAL", "10"))
 # ratio: steal and compute burns are blind to co-tenant bandwidth/LLC
 # contention, the dominant cause of 4N-level slowdowns on this host
 CLEAN_BW_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_BW", "3.0"))
+CLEAN_BW_RATIO_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_BW_MAX", "5.0"))
+# final clean gate: both of a round's level runs must be within this
+# factor of the session-minimum crawl time for their level
+NEAR_MIN_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_NEAR_MIN", "1.2"))
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
 
 _BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
@@ -341,10 +345,28 @@ def _round_effs(li: dict, hj: dict) -> dict:
         # (burn), to not steal cycles (/proc/stat), AND to grant the
         # memory bandwidth (streaming burn) — bandwidth contention from
         # co-tenants stalls the 4N level's string-heavy stages while
-        # leaving all three other telemetry channels green
+        # leaving all three other telemetry channels green. The bw ratio
+        # is also capped ABOVE: a ratio far past the ideal 4x means the
+        # N-level probe itself was starved (observed 9.5x in a storm).
         "clean": (hw_ratio >= CLEAN_HW_RATIO and steal <= CLEAN_STEAL_PCT
-                  and bw_ratio >= CLEAN_BW_RATIO),
+                  and CLEAN_BW_RATIO <= bw_ratio <= CLEAN_BW_RATIO_MAX),
     }
+
+
+def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list) -> None:
+    """Second clean gate, applied once all rounds exist: a clean round's
+    BOTH level runs must sit within NEAR_MIN_FRAC of the session-minimum
+    crawl time for their level. Contention only ever INFLATES a run, so
+    per-level minima anchor the uncontended machine; a round whose
+    telemetry looked clean but whose runs are far off the minima caught a
+    mid-run storm the probes missed."""
+    lo_min = min(r["crawl_seconds"] for r in lo_runs)
+    hi_min = min(r["crawl_seconds"] for r in hi_runs)
+    for eff, li, hj in zip(round_effs, lo_runs, hi_runs):
+        near = (li["crawl_seconds"] <= NEAR_MIN_FRAC * lo_min
+                and hj["crawl_seconds"] <= NEAR_MIN_FRAC * hi_min)
+        eff["near_session_min"] = near
+        eff["clean"] = eff["clean"] and near
 
 
 def _write_baseline_md(result: dict, rounds_path: str) -> None:
@@ -379,11 +401,16 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         f"the host granting >= {CLEAN_HW_RATIO}x compute from N to 4N",
         f"workers, whose /proc/stat steal stayed <= {CLEAN_STEAL_PCT}%",
         "of wanted CPU across both levels' timed crawl windows, AND whose",
-        f"memory-bandwidth burn granted >= {CLEAN_BW_RATIO}x N->4N (steal",
+        f"memory-bandwidth burn granted {CLEAN_BW_RATIO}-"
+        f"{CLEAN_BW_RATIO_MAX}x N->4N (steal",
         "and compute burns are blind to co-tenant bandwidth/LLC",
         "contention — the dominant cause of 4N-level slowdowns here:",
         "2-core numbers stay stable across weather while 8-core numbers",
-        "collapse 3x with steal < 3% and a full compute grant).",
+        "collapse 3x with steal < 3% and a full compute grant; a bw ratio",
+        "far ABOVE 4x means the N-level probe itself was starved). A",
+        "clean round must ALSO have both its level runs within",
+        f"{NEAR_MIN_FRAC}x of the session-minimum crawl time for their",
+        "level — runs are the most sensitive storm detector available.",
         "The min-ratio column is the ratio of the two levels' best",
         "observed throughputs across all rounds: contention only ever",
         "INFLATES a run, so per-level minima approximate the uncontended",
@@ -472,6 +499,7 @@ def main() -> None:
         round_effs.append(_round_effs(lo_runs[-1], hi_runs[-1]))
     lo, hi = _merge_runs(lo_runs), _merge_runs(hi_runs)
 
+    _finalize_clean(round_effs, lo_runs, hi_runs)
     clean = [r for r in round_effs if r["clean"]]
     gate_pool = clean or round_effs  # no clean window -> flagged fallback
     best = max(round_effs, key=lambda r: r["steady_efficiency"])

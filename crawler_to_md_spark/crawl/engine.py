@@ -487,10 +487,11 @@ class CrawlEngine:
         )
 
         # ---- discovery stage FIRST: the rank offset job is the wave's one
-        # materializing pass — it fills the fetched+scraped caches with full
-        # input parallelism, so the coalesced appends below only read cache.
-        # (Running pages.append first would run the scrape UDF inside the
-        # coalesced write tasks, collapsing parallelism.)
+        # materializing pass — it fills the scraped cache (and in live mode
+        # the fetched cache) with full input parallelism, so the coalesced
+        # appends below only read cache. (Running pages.append first would
+        # run the scrape UDF inside the coalesced write tasks, collapsing
+        # parallelism.)
         n_new = 0
         ranked = pinned = None
         if not cfg.seed_list_mode:

@@ -105,3 +105,21 @@ def test_okey_packing_order_isomorphism():
         assert k >> _OKEY_POS_BITS == r
         assert k & (_OKEY_POS_SPAN - 1) == min(p, _OKEY_POS_SPAN - 1)
         assert k < 2**63  # fits a Spark LongType
+
+
+def test_finalize_clean_near_session_min_and_bw_cap():
+    lo_a = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5)
+    hi_a = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5)
+    # telemetry-clean round whose hi run is 60% off the session min:
+    # a mid-run storm the probes missed
+    lo_b = _run(2, 82.0, 31.0, 28.0, hw=14.0, steal=0.5)
+    hi_b = _run(8, 40.0, 20.0, 8.0, hw=56.0, steal=0.5)
+    effs = [bench._round_effs(lo_a, hi_a), bench._round_effs(lo_b, hi_b)]
+    assert effs[0]["clean"] and effs[1]["clean"]  # telemetry alone: both
+    bench._finalize_clean(effs, [lo_a, lo_b], [hi_a, hi_b])
+    assert effs[0]["clean"] is True
+    assert effs[1]["clean"] is False and effs[1]["near_session_min"] is False
+    # a bw ratio far above ideal (starved N-level probe) is not clean
+    hi_c = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5, bw=500.0)
+    lo_c = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5, bw=50.0)
+    assert bench._round_effs(lo_c, hi_c)["clean"] is False
