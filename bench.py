@@ -282,6 +282,44 @@ def _merge_runs(runs: list[dict]) -> dict:
     return best
 
 
+def _workload_key() -> str:
+    return f"{CRAWL_PAGES}/{CRAWL_BRANCHING}/{DEDUP_CANDIDATES}/{BENCH_LEVELS}"
+
+
+def _load_historical_minima() -> dict | None:
+    """Per-level best runs from previous bench invocations on this
+    machine (BENCH/minima.json). Host storms only ever INFLATE a run, so
+    minima converge to the uncontended machine as more sessions sample
+    different weather; a single session during a multi-hour storm never
+    sees the real machine. Keyed by the workload parameters — any change
+    discards history."""
+    path = os.path.join(_BENCH_DIR, "minima.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("key") != _workload_key():
+            return None
+        return d
+    except (OSError, ValueError):
+        return None
+
+
+def _save_historical_minima(lo: dict, hi: dict) -> None:
+    os.makedirs(_BENCH_DIR, exist_ok=True)
+    rev = None
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        pass
+    with open(os.path.join(_BENCH_DIR, "minima.json"), "w") as f:
+        json.dump({"key": _workload_key(), "low": lo, "high": hi,
+                   "last_rev": rev}, f, indent=1)
+
+
 def _run_crawl_subprocess(cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--crawl-only",
@@ -380,20 +418,24 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         f"branching={CRAWL_BRANCHING}, dedup candidates={DEDUP_CANDIDATES}).",
         "",
         f"| metric | {ln} (N) | {hn} (4N) | eff median (clean rounds) "
-        "| eff best round | eff min-ratio |",
-        "|---|---|---|---|---|---|",
+        "| eff best round | eff min-ratio (session) | eff min-ratio "
+        "(all-time) |",
+        "|---|---|---|---|---|---|---|",
         f"| crawl URLs fetched/sec (end-to-end incl. wave barriers) "
         f"| {lo['urls_per_sec']} | {hi['urls_per_sec']} "
         f"| {cs['efficiency']} | {cs['efficiency_best']} "
-        f"| {cs['efficiency_minratio']} |",
+        f"| {cs['efficiency_minratio']} "
+        f"| {cs['efficiency_minratio_alltime']} |",
         f"| crawl URLs/sec, steady-state (largest wave) "
         f"| {lo['steady_urls_per_sec']} | {hi['steady_urls_per_sec']} "
         f"| {cs['steady_efficiency']} | {cs['steady_efficiency_best']} "
-        f"| {cs['steady_efficiency_minratio']} |",
+        f"| {cs['steady_efficiency_minratio']} "
+        f"| {cs['steady_efficiency_minratio_alltime']} |",
         f"| frontier dedup candidates/sec | {lo['dedup_per_sec']} "
         f"| {hi['dedup_per_sec']} "
         f"| {cs['dedup_efficiency']} | {cs['dedup_efficiency_best']} "
-        f"| {cs['dedup_efficiency_minratio']} |",
+        f"| {cs['dedup_efficiency_minratio']} "
+        f"| {cs['dedup_efficiency_minratio_alltime']} |",
         "",
         "Throughput columns are per-level minima across interleaved",
         "rounds. The headline efficiency is the MEDIAN of per-round",
@@ -411,11 +453,14 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "clean round must ALSO have both its level runs within",
         f"{NEAR_MIN_FRAC}x of the session-minimum crawl time for their",
         "level — runs are the most sensitive storm detector available.",
-        "The min-ratio column is the ratio of the two levels' best",
-        "observed throughputs across all rounds: contention only ever",
-        "INFLATES a run, so per-level minima approximate the uncontended",
-        "machine and their ratio is the engine's scaling with the weather",
-        "term minimized. Best-round shown alongside;",
+        "The min-ratio columns are the ratio of the two levels' best",
+        "observed throughputs — across this session's rounds, and across",
+        "ALL bench sessions on this machine (BENCH/minima.json, keyed by",
+        "workload params): contention only ever INFLATES a run, so",
+        "per-level minima approximate the uncontended machine and their",
+        "ratio is the engine's scaling with the weather term minimized;",
+        "one session inside a multi-hour storm never sees the real",
+        "machine, the all-time fold does. Best-round shown alongside;",
         f"every round's raw pair and phase profile: {rounds_path}.",
         f"Clean rounds this run: {cs['clean_rounds']}/{cs['rounds_total']}"
         + (" — NO clean window found; median falls back to all rounds"
@@ -519,6 +564,19 @@ def main() -> None:
     seff_min = round(hi["steady_urls_per_sec"]
                      / (4 * lo["steady_urls_per_sec"]), 3)
     deff_min = round(hi["dedup_per_sec"] / (4 * lo["dedup_per_sec"]), 3)
+    # all-time minima: fold previous sessions' per-level best runs in
+    # (storms only inflate; minima converge to the uncontended machine
+    # across weather samples), then persist the update
+    hist = _load_historical_minima()
+    lo_all = _merge_runs([lo, hist["low"]]) if hist else lo
+    hi_all = _merge_runs([hi, hist["high"]]) if hist else hi
+    _save_historical_minima(lo_all, hi_all)
+    eff_min_all = round(hi_all["urls_per_sec"]
+                        / (4 * lo_all["urls_per_sec"]), 3)
+    seff_min_all = round(hi_all["steady_urls_per_sec"]
+                         / (4 * lo_all["steady_urls_per_sec"]), 3)
+    deff_min_all = round(hi_all["dedup_per_sec"]
+                         / (4 * lo_all["dedup_per_sec"]), 3)
     # hardware ceiling: this sandbox's 32 "vCPUs" share host cores — the
     # measured raw-compute ratio (burn loops, no coordination) caps any
     # job's achievable scaling; normalized efficiency divides by it
@@ -550,6 +608,9 @@ def main() -> None:
             "efficiency_minratio": eff_min,
             "steady_efficiency_minratio": seff_min,
             "dedup_efficiency_minratio": deff_min,
+            "efficiency_minratio_alltime": eff_min_all,
+            "steady_efficiency_minratio_alltime": seff_min_all,
+            "dedup_efficiency_minratio_alltime": deff_min_all,
             "hw_compute_ratio_low_to_high": hw_ratio,
             "efficiency_hw_normalized": norm(eff),
             "steady_efficiency_hw_normalized": norm(seff),

@@ -123,3 +123,20 @@ def test_finalize_clean_near_session_min_and_bw_cap():
     hi_c = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5, bw=500.0)
     lo_c = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5, bw=50.0)
     assert bench._round_effs(lo_c, hi_c)["clean"] is False
+
+
+def test_historical_minima_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
+    lo = _run(2, 80.0, 30.0, 28.0, hw=14.0)
+    hi = _run(8, 25.0, 9.0, 8.0, hw=56.0)
+    assert bench._load_historical_minima() is None
+    bench._save_historical_minima(lo, hi)
+    h = bench._load_historical_minima()
+    assert h is not None and h["low"]["crawl_seconds"] == 80.0
+    # a better later run folds in via the same per-metric min merge
+    lo2 = _run(2, 70.0, 30.0, 28.0, hw=14.0)
+    merged = bench._merge_runs([h["low"], lo2])
+    assert merged["crawl_seconds"] == 70.0
+    # workload-param change discards history
+    monkeypatch.setattr(bench, "CRAWL_PAGES", bench.CRAWL_PAGES + 1)
+    assert bench._load_historical_minima() is None
