@@ -283,7 +283,11 @@ def _merge_runs(runs: list[dict]) -> dict:
 
 
 def _workload_key() -> str:
-    return f"{CRAWL_PAGES}/{CRAWL_BRANCHING}/{DEDUP_CANDIDATES}/{BENCH_LEVELS}"
+    import shutil as _shutil
+
+    pinned = "pinned" if _shutil.which("taskset") else "unpinned"
+    return (f"{CRAWL_PAGES}/{CRAWL_BRANCHING}/{DEDUP_CANDIDATES}/"
+            f"{BENCH_LEVELS}/{pinned}")
 
 
 def _load_historical_minima() -> dict | None:
@@ -321,9 +325,22 @@ def _save_historical_minima(lo: dict, hi: dict) -> None:
 
 
 def _run_crawl_subprocess(cpus: int) -> dict:
+    """One crawl bench at local[cpus], CPU-PINNED to exactly that many
+    cores (taskset). Unpinned, local[N] is NOT an N-core machine: the
+    JVM's GC/shuffle/IO threads and the Python UDF workers ride FREE
+    extra host cores, and the subsidy is proportionally largest at the
+    small-N level (measured: the 2-core level ran the steady wave ~35%
+    faster unpinned), structurally depressing every N->4N ratio. Pinning
+    makes the pair an honest N-core vs 4N-core machine comparison — the
+    thing a real N-executor vs 4N-executor cluster is."""
+    import shutil as _shutil
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only",
+           str(cpus), str(CRAWL_PAGES)]
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-only",
-         str(cpus), str(CRAWL_PAGES)],
+        cmd,
         capture_output=True, text=True, timeout=1800, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -466,11 +483,17 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         + (" — NO clean window found; median falls back to all rounds"
            if cs["clean_rounds"] == 0 else ""),
         "",
-        f"The N vs 4N pair is {ln} vs {hn}: a coordination-free burn test",
-        "shows the 32 advertised vCPUs share host cores and deliver only",
-        "~2.1-2.9x the raw compute of 8 workers, so a 8-vs-32 comparison",
-        "cannot evidence ANY job's scaling on this machine; the chosen",
-        "pair stays within the measured real core budget.",
+        f"The N vs 4N pair is {ln} vs {hn}, each subprocess CPU-PINNED",
+        "(taskset) to exactly its core count: unpinned, local[N] is N",
+        "task slots whose JVM GC/shuffle/IO threads and Python workers",
+        "ride free extra host cores — a subsidy proportionally largest at",
+        "the small level (the 2-core steady wave measured ~35% faster",
+        "unpinned), structurally depressing every ratio. Pinned, the",
+        "pair is an honest N-core vs 4N-core machine, which is what a",
+        "real N- vs 4N-executor cluster gives each executor. 2->8 (not",
+        "8->32) because a coordination-free burn shows the 32 advertised",
+        "vCPUs share host cores and deliver only ~2.1-2.9x the compute",
+        "of 8 workers; the chosen pair stays within the real core budget.",
         "",
         "Fetch stage: the column-level synthetic fetcher (response = JVM",
         "exprs of the URL, cost O(wave) — the cost shape of real HTTP;",

@@ -66,6 +66,7 @@ _NONMARKUP_RE = re.compile(
     r"|<style\b[^>]*>.*?(?:</style\s*>|$)",
     re.IGNORECASE | re.DOTALL,
 )
+_NONMARKUP_MARK_RE = re.compile(r"<!--|<script|<style", re.IGNORECASE)
 
 
 def sanitize_html(html: str) -> str:
@@ -74,7 +75,13 @@ def sanitize_html(html: str) -> str:
     string), so every downstream regex sees the document bs4 would expose
     as markup. Text the spans contained contributes whitespace only, like
     bs4's Comment / raw-text nodes contribute nothing to get_text()."""
-    return _NONMARKUP_RE.sub(lambda m: " " * len(m.group(0)), html or "")
+    doc = html or ""
+    # cheap marker search first: pages without comments/script/style (the
+    # common hot-path case) skip the span-replacing sub entirely — no
+    # callback dispatch, no string rebuild
+    if not _NONMARKUP_MARK_RE.search(doc):
+        return doc
+    return _NONMARKUP_RE.sub(lambda m: " " * len(m.group(0)), doc)
 
 
 def extract_hrefs(html: str) -> list[str]:
