@@ -405,6 +405,14 @@ def _round_effs(li: dict, hj: dict) -> dict:
         # N-level probe itself was starved (observed 9.5x in a storm).
         "clean": (hw_ratio >= CLEAN_HW_RATIO and steal <= CLEAN_STEAL_PCT
                   and CLEAN_BW_RATIO <= bw_ratio <= CLEAN_BW_RATIO_MAX),
+        # the dedup microbench runs in a different window than the crawl
+        # inside each subprocess; a storm can hit one and not the other,
+        # so its median pools over its own clean flag
+        "dedup_clean": (
+            hw_ratio >= CLEAN_HW_RATIO
+            and max(li.get("dedup_steal_pct", 0.0),
+                    hj.get("dedup_steal_pct", 0.0)) <= CLEAN_STEAL_PCT
+            and CLEAN_BW_RATIO <= bw_ratio <= CLEAN_BW_RATIO_MAX),
     }
 
 
@@ -417,11 +425,17 @@ def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list) -> None:
     mid-run storm the probes missed."""
     lo_min = min(r["crawl_seconds"] for r in lo_runs)
     hi_min = min(r["crawl_seconds"] for r in hi_runs)
+    lo_dmin = min(r["dedup_seconds"] for r in lo_runs)
+    hi_dmin = min(r["dedup_seconds"] for r in hi_runs)
     for eff, li, hj in zip(round_effs, lo_runs, hi_runs):
         near = (li["crawl_seconds"] <= NEAR_MIN_FRAC * lo_min
                 and hj["crawl_seconds"] <= NEAR_MIN_FRAC * hi_min)
         eff["near_session_min"] = near
         eff["clean"] = eff["clean"] and near
+        eff["dedup_clean"] = (
+            eff["dedup_clean"]
+            and li["dedup_seconds"] <= NEAR_MIN_FRAC * lo_dmin
+            and hj["dedup_seconds"] <= NEAR_MIN_FRAC * hi_dmin)
 
 
 def _write_baseline_md(result: dict, rounds_path: str) -> None:
@@ -575,8 +589,10 @@ def main() -> None:
     def med(key: str) -> float:
         return round(statistics.median(r[key] for r in gate_pool), 3)
 
-    eff, seff, deff = (med("efficiency"), med("steady_efficiency"),
-                       med("dedup_efficiency"))
+    eff, seff = med("efficiency"), med("steady_efficiency")
+    dedup_pool = [r for r in round_effs if r["dedup_clean"]] or round_effs
+    deff = round(statistics.median(
+        r["dedup_efficiency"] for r in dedup_pool), 3)
     # min-ratio: the ratio of the two levels' BEST observed throughputs
     # across all rounds. Host contention only ever INFLATES a run, so the
     # per-level minima are the closest observable approximation of the
