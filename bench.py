@@ -159,12 +159,50 @@ def _bw_calibration(n_workers: int, seconds: float = 1.0) -> float:
     return best
 
 
+def _stage_profile(spark, t0_s: float, t1_s: float) -> list[dict]:
+    """Executor stage metrics (AppStatusStore) for stages submitted inside
+    a wall window — the per-component attribution of a wave: each stage's
+    call-site name says which phase it is (scrape/agg shuffle write, rank
+    count, append, bloom agg), run vs cpu time separates compute from
+    IO/python-wait, and comparing a stage across the 2- and 8-core levels
+    localizes exactly which component fails to scale. Best-effort: any
+    py4j wobble returns []."""
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        ss = spark.sparkContext._jsc.sc().statusStore()
+        lst = ss.stageList(jvm.java.util.ArrayList(), False, False,
+                           gw.new_array(jvm.double, 0),
+                           jvm.java.util.ArrayList())
+        out = []
+        for i in range(lst.size()):
+            s = lst.apply(i)
+            sub = s.submissionTime()
+            if not sub.isDefined():
+                continue
+            ts = sub.get().getTime() / 1000.0
+            if not (t0_s <= ts <= t1_s):
+                continue
+            out.append({
+                "stage": int(s.stageId()),
+                "name": s.name()[:80],
+                "run_ms": int(s.executorRunTime()),
+                "cpu_ms": int(s.executorCpuTime() // 1_000_000),
+                "tasks": int(s.numCompleteTasks()),
+                "input_mb": round(s.inputBytes() / 1e6, 1),
+                "shuffle_write_mb": round(s.shuffleWriteBytes() / 1e6, 1),
+            })
+        return sorted(out, key=lambda d: -d["run_ms"])[:14]
+    except Exception:
+        return []
+
+
 def _crawl_bench(cpus: int, n_pages: int) -> dict:
     from pyspark.sql import functions as F
 
     from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
     from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
-    from crawler_to_md_spark.operators.seen import BloomSeenSet, anti_join_new
+    from crawler_to_md_spark.operators.seen import anti_join_new, new_seen_set
     from crawler_to_md_spark.session import get_spark
 
     # shuffle partitions FIXED at 32 for every level: partition count must
@@ -198,6 +236,9 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # last minutes) hit both levels' samples instead of biasing the ratio
     with tempfile.TemporaryDirectory() as root:
         eng = CrawlEngine(spark, root, cfg_for(n_pages))
+        # sub-profiling (VERDICT r3 #5): scrape-UDF python seconds ride a
+        # Spark accumulator into the wave phase profile
+        eng.scrape_time_acc = spark.sparkContext.accumulator(0.0)
         cpu0 = _proc_cpu()
         t0 = time.time()
         metrics = eng.run(None, single_url="https://host0.example/p/0")
@@ -206,6 +247,10 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
         fetched = eng.visited.read(spark).count()
         big = max((m for m in metrics if not m.get("done")),
                   key=lambda m: m["selected"])
+        steady_stages = (
+            _stage_profile(spark, big["t_start"], big["t_end"])
+            if "t_start" in big else []
+        )
     steady = big["selected"] / big["seconds"]
 
     # frontier-dedup microbench: canonicalize + hash + bloom + anti-join
@@ -216,7 +261,9 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
         F.concat(F.lit("https://h"), (F.col("id") % 1000).cast("string"),
                  F.lit(".example/p/"), F.col("id").cast("string")).alias("url")
     ).select(url_hash(canonicalize(F.col("url"))).alias("url_hash"), "url")
-    bloom = BloomSeenSet(num_shards=16, bits_per_shard=1 << 22)
+    # production seen-set path: JVM sketch filter (codegen might_contain
+    # probe) sized for the 6M-key seen side — 2^27 bits ~ 22 bits/key
+    bloom = new_seen_set(spark, num_shards=16, bits_per_shard=1 << 23)
     bloom.add_distributed(seen)
     cands = spark.range(DEDUP_CANDIDATES).select(
         F.concat(F.lit(" HTTPS://H"), (F.col("id") % 1000).cast("string"),
@@ -247,6 +294,7 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
         "steady_wave_seconds": round(big["seconds"], 2),
         "steady_urls_per_sec": round(steady, 1),
         "steady_phases": big.get("phases", {}),
+        "steady_stage_profile": steady_stages,
         "crawl_steal_pct": crawl_steal,
         "dedup_steal_pct": dedup_steal,
         "dedup_candidates": DEDUP_CANDIDATES,
@@ -269,8 +317,9 @@ def _merge_runs(runs: list[dict]) -> dict:
                 best[k] = r[k]
         if r["steady_wave_seconds"] < best["steady_wave_seconds"]:
             for k in ("steady_wave_selected", "steady_wave_seconds",
-                      "steady_urls_per_sec", "steady_phases"):
-                best[k] = r[k]
+                      "steady_urls_per_sec", "steady_phases",
+                      "steady_stage_profile"):
+                best[k] = r.get(k)
         if r["dedup_seconds"] < best["dedup_seconds"]:
             for k in ("dedup_seconds", "dedup_per_sec", "dedup_new",
                       "dedup_steal_pct"):
@@ -416,6 +465,15 @@ def _round_effs(li: dict, hj: dict) -> dict:
     }
 
 
+def _gate_pool(round_effs: list, key: str) -> list:
+    """The rounds the headline MEDIAN statistic pools over: ONLY the
+    clean rounds when any exist; the all-rounds fallback (flagged in the
+    artifact via clean_rounds=0) only when none are. Locked by
+    tests/test_bench_stats.py::test_gate_pool_selects_clean_rounds_only."""
+    clean = [r for r in round_effs if r[key]]
+    return clean or round_effs
+
+
 def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list) -> None:
     """Second clean gate, applied once all rounds exist: a clean round's
     BOTH level runs must sit within NEAR_MIN_FRAC of the session-minimum
@@ -515,11 +573,19 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "test_fetch_df_fn_matches_corpus_join). Wave-barrier costs",
         "(driver-side commits, manifest IO, job scheduling, Arrow worker",
         "round-trips) are constant per wave and amortize at production",
-        "wave sizes; since round 3 the four per-wave commits (pages,",
-        "frontier, bloom, visited) run CONCURRENTLY against the wave's",
-        "caches with a marker-line commit point, so the barrier costs",
-        "max(commit), not sum(commit). The steady-state row is the",
-        "largest wave (the amortized regime), end-to-end alongside.",
+        "wave sizes; since round 3 the per-wave commits run CONCURRENTLY",
+        "against the wave's caches with a marker-line commit point, so the",
+        "barrier costs max(commit), not sum(commit). Round 4: the",
+        "seen-set bloom probe is the JVM might_contain expression (no",
+        "Python/Arrow stage in the wave's hot stream), the bloom delta",
+        "build is one JVM aggregation, and unconstrained waves commit",
+        "visited BY REFERENCE to the prior frontier delta (zero physical",
+        "rows) — the former visited append re-wrote every selected row.",
+        "Per-stage executor metrics for each level's steady wave are in",
+        "the rounds file (steady_stage_profile) plus the scrape UDF's",
+        "accumulated Python seconds (steady_phases.scrape_udf_py_s).",
+        "The steady-state row is the largest wave (the amortized regime),",
+        "end-to-end alongside.",
         "",
         "HARDWARE CEILING: the burn test measures the raw N->4N compute",
         "ratio the host actually grants at "
@@ -568,14 +634,26 @@ def main() -> None:
     # host steal storms last minutes, so running all lo-reps then all
     # hi-reps lets one storm bias the N->4N ratio in either direction.
     # CLEAN-WINDOW PROTOCOL: if none of the base rounds ran in a clean
-    # window (burn calibration >= CLEAN_HW_RATIO), keep adding rounds up
-    # to the cap — a storm lasts minutes, the wait is bounded.
+    # window (burn calibration >= CLEAN_HW_RATIO), keep adding rounds —
+    # SLEEPING between extras (storms on this host last minutes to hours;
+    # r3 ran its 3 back-to-back rounds inside one storm and delivered
+    # clean_rounds=0) — until a round is clean, the round cap is hit, or
+    # the wall budget is spent.
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-    max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "10"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "3300"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "150"))
     lo_runs, hi_runs, round_effs = [], [], []
-    while len(round_effs) < rounds or (
-        not any(r["clean"] for r in round_effs) and len(round_effs) < max_rounds
-    ):
+    while True:
+        n = len(round_effs)
+        have_clean = any(r["clean"] for r in round_effs)
+        if n >= rounds and (have_clean or n >= max_rounds):
+            break
+        if n >= rounds:  # extra storm-dodging round
+            remaining = budget_s - (time.time() - t0)
+            if remaining < 300:  # no room for sleep + a full round pair
+                break
+            time.sleep(min(retry_sleep, max(0.0, remaining - 300)))
         lo_runs.append(_run_crawl_subprocess(BENCH_LEVELS[0]))
         hi_runs.append(_run_crawl_subprocess(BENCH_LEVELS[1]))
         round_effs.append(_round_effs(lo_runs[-1], hi_runs[-1]))
@@ -583,16 +661,16 @@ def main() -> None:
 
     _finalize_clean(round_effs, lo_runs, hi_runs)
     clean = [r for r in round_effs if r["clean"]]
-    gate_pool = clean or round_effs  # no clean window -> flagged fallback
+    gate_pool = _gate_pool(round_effs, "clean")
     best = max(round_effs, key=lambda r: r["steady_efficiency"])
 
     def med(key: str) -> float:
         return round(statistics.median(r[key] for r in gate_pool), 3)
 
     eff, seff = med("efficiency"), med("steady_efficiency")
-    dedup_pool = [r for r in round_effs if r["dedup_clean"]] or round_effs
     deff = round(statistics.median(
-        r["dedup_efficiency"] for r in dedup_pool), 3)
+        r["dedup_efficiency"] for r in _gate_pool(round_effs, "dedup_clean")
+    ), 3)
     # min-ratio: the ratio of the two levels' BEST observed throughputs
     # across all rounds. Host contention only ever INFLATES a run, so the
     # per-level minima are the closest observable approximation of the
@@ -632,10 +710,12 @@ def main() -> None:
         "sf": sf,
         "crawl_scaling": {
             "levels": BENCH_LEVELS,
-            # phase profiles stay in the side file: the stdout line must
-            # remain small enough for the driver's capture window
-            "low": {k: v for k, v in lo.items() if k != "steady_phases"},
-            "high": {k: v for k, v in hi.items() if k != "steady_phases"},
+            # phase/stage profiles stay in the side file: the stdout line
+            # must remain small enough for the driver's capture window
+            "low": {k: v for k, v in lo.items()
+                    if k not in ("steady_phases", "steady_stage_profile")},
+            "high": {k: v for k, v in hi.items()
+                     if k not in ("steady_phases", "steady_stage_profile")},
             # headline = median over clean rounds (the gate statistic);
             # *_best = most favorable round, for continuity with r1/r2
             "efficiency": eff,

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fetch over real HTTP (networked clusters only)")
     p.add_argument("--per-host-budget", type=int, default=None,
                    help="Politeness: max fetches per host per wave")
+    p.add_argument("--respect-robots", action="store_true",
+                   help="Live mode: fetch+cache /robots.txt per host and "
+                        "skip disallowed paths (default off — reference "
+                        "parity is permissive)")
+    p.add_argument("--robots-ttl", type=float, default=3600.0,
+                   help="Seconds before a cached robots.txt is re-fetched")
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -145,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         per_host_budget=args.per_host_budget,
         fetch_fn=fetch_fn,
         min_interval_s=args.delay,
+        respect_robots=args.respect_robots,
+        robots_ttl_s=args.robots_ttl,
     )
     engine = CrawlEngine(spark, store, cfg)
 

@@ -36,6 +36,22 @@ Scale notes (designed for 1000 executors / 100 TB, tested on local[32]):
   idempotent replay (SURVEY.md §7 hard part 2). Legacy stores without a
   marker log fall back to the visited-append commit point they were
   written with.
+- in unconstrained waves the ``visited`` state is committed BY REFERENCE
+  (a virtual delta pointing at the previous wave's frontier append —
+  tables.py): with no quota/robots/budget gate, the selected set IS that
+  delta, so physically re-writing n_selected (url_hash, url) rows every
+  wave was pure write amplification. Only the gate-SKIPPED subset (404s,
+  non-HTML — usually empty in steady state) is physically appended and
+  carved out of the reference. Constrained and live waves keep the
+  physical append.
+
+DURABILITY GUARANTEE: the commit marker is fsync'd, table data is not (by
+default) — so recovery is exact for PROCESS crashes (kill -9 anywhere),
+while a POWER LOSS could in principle persist the marker but lose a
+table's page-cached datafiles, leaving tables at mixed waves. Set
+``CrawlConfig.durable_commits=True`` to fsync datafiles + manifests +
+CURRENT before each marker (tables.py) and extend the guarantee to power
+loss, at the cost of per-wave fsync latency in the commit barrier.
 """
 
 from __future__ import annotations
@@ -51,9 +67,14 @@ from pyspark.sql import functions as F
 
 from ..functions.html import make_scrape_udf
 from ..functions.urls import defrag, host_of, url_hash, valid_link_expr
-from ..operators.politeness import apply_global_budget, apply_host_quota, robots_gate
+from ..operators.politeness import (
+    apply_global_budget,
+    apply_host_quota,
+    parse_robots_txt,
+    robots_gate,
+)
 from ..operators.rank import with_global_rank
-from ..operators.seen import BloomSeenSet, anti_join_new
+from ..operators.seen import anti_join_new, load_seen_set, new_seen_set
 from ..tables import SnapshotTable
 
 _RANK_STRIDE = 1 << 20  # legroom so seed ranks & wave ranks never collide
@@ -88,14 +109,36 @@ class CrawlConfig:
     # DataFrame-level fetch: fn(pending) -> pending + response columns
     # (status, content_type, html, image payload). Used with corpus=None
     # when the response is computable per-row (synthetic benches: cost
-    # O(wave) like real HTTP, not O(corpus) like the join simulation)
+    # O(wave) like real HTTP, not O(corpus) like the join simulation).
+    # MUST BE DETERMINISTIC in the URL columns: the engine re-executes the
+    # fetch plan within a wave (the scrape pass and, when gate-skipped
+    # rows exist, the skipped-subset materialization run it separately)
+    # and relies on both passes agreeing on _gate/status per URL. A
+    # nondeterministic source belongs in fetch_fn (live mode), whose
+    # output is cached after one execution.
     fetch_df_fn: object | None = None
     max_waves: int | None = None
     use_bloom: bool = True
+    # bloom sizing: total bits = shards x bits/shard (2^24 = 2 MiB
+    # default — 16 bits/key at 1M frontier URLs; FPs only cost exact-join
+    # probes). The JVM impl treats it as ONE filter of that many bits.
     bloom_shards: int = 16
-    bloom_bits_per_shard: int = 1 << 22
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_impl: str = "jvm"               # 'jvm' (codegen probe) | 'numpy'
     salt: int = 8
     salt_threshold: int = 100_000
+    # robots handling for LIVE crawls (corpus=None): fetch /robots.txt per
+    # newly-seen host, parse (operators/politeness.py, RFC 9309 subset),
+    # persist as a (host, disallow_prefix, fetched_at) snapshot table with
+    # TTL re-fetch, and gate every wave. Default OFF: the reference never
+    # reads robots.txt (no occurrence in crawler_to_md/) so parity runs
+    # stay permissive. robots_fetch_fn(host)->body|None overrides the
+    # requests-backed default (tests inject; None body => permissive).
+    respect_robots: bool = False
+    robots_ttl_s: float = 3600.0
+    robots_fetch_fn: object | None = None
+    robots_agent: str = "*"
+    durable_commits: bool = False         # fsync table commits (power loss)
     profile: bool = False  # per-phase wall timings into wave metrics
 
 
@@ -104,10 +147,16 @@ class CrawlEngine:
         self.spark = spark
         self.root = root
         self.cfg = config or CrawlConfig()
-        self.frontier = SnapshotTable(os.path.join(root, "frontier"))
-        self.visited = SnapshotTable(os.path.join(root, "visited"))
-        self.pages = SnapshotTable(os.path.join(root, "pages"))
-        self.metrics = SnapshotTable(os.path.join(root, "metrics"))
+        durable = self.cfg.durable_commits
+        self.frontier = SnapshotTable(os.path.join(root, "frontier"), durable)
+        self.visited = SnapshotTable(os.path.join(root, "visited"), durable)
+        self.pages = SnapshotTable(os.path.join(root, "pages"), durable)
+        self.metrics = SnapshotTable(os.path.join(root, "metrics"), durable)
+        # robots cache (live crawls, cfg.respect_robots): rows
+        # (host, disallow_prefix|NULL, fetched_at); latest fetched_at per
+        # host wins, NULL prefix = "fetched, nothing disallowed" (the row
+        # exists so the TTL applies to permissive hosts too)
+        self.robots = SnapshotTable(os.path.join(root, "robots"), durable)
         self._bloom_path = os.path.join(root, "bloom", "seen.npz")
         # wave-commit marker log: a wave is committed iff its marker line
         # landed here. Decoupling the marker from any one table lets the
@@ -138,17 +187,36 @@ class CrawlEngine:
         # [lo, lo+count)): lets the wave derive deterministic rank buckets
         # instead of paying repartitionByRange's sampling recompute
         self._fast_next_lo: int | None = None
+        # the delta's parquet files: the next wave's visited state is
+        # committed as a virtual reference to exactly these files
+        self._fast_next_files: list[str] | None = None
         self._metrics_buf: list[tuple] = []
+        # optional Spark accumulator: the scrape UDF adds its Python batch
+        # seconds here (bench sub-profiling of the wave's one hot pass)
+        self.scrape_time_acc = None
         # write-side partition cap tracks cluster size (VERDICT r1 #7)
         self._wcap = max(1, spark.sparkContext.defaultParallelism)
-        self.bloom: BloomSeenSet | None = None
+        self.bloom = None
         if self.cfg.use_bloom:
             if os.path.exists(self._bloom_path):
-                self.bloom = BloomSeenSet.load(self._bloom_path)
+                # format-agnostic load (JVM blob or legacy numpy npz); an
+                # unreadable file must trigger an exact rebuild from the
+                # frontier — an empty bloom would false-negative every
+                # seen URL and re-crawl the store
+                self.bloom = load_seen_set(self._bloom_path, spark)
+                if self.bloom is None:
+                    self.bloom = self._new_bloom()
+                    if self.frontier.exists():
+                        self.bloom.add_distributed(self.frontier.read(spark))
+                    self.bloom.save(self._bloom_path)
             else:
-                self.bloom = BloomSeenSet(
-                    self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard
-                )
+                self.bloom = self._new_bloom()
+
+    def _new_bloom(self):
+        return new_seen_set(
+            self.spark, self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard,
+            impl=self.cfg.bloom_impl,
+        )
 
     # ------------------------------------------------------------------ seeds
 
@@ -207,6 +275,7 @@ class CrawlEngine:
         self._fast_next_count = n_seeds
         self._fast_next_lo = 0
         self._fast_next_nfiles = len(manifest["delta_files"])
+        self._fast_next_files = manifest["delta_files"]
 
     def seed_if_new(self, seeds: list[str] | None = None,
                     single_url: str | None = None) -> int:
@@ -263,7 +332,11 @@ class CrawlEngine:
 
     def _mark_committed(self, wave: int) -> None:
         """Append the wave's commit marker (fsync'd: the marker IS the
-        wave's commit point — a crash before it rolls the wave back)."""
+        wave's commit point — a crash before it rolls the wave back).
+        NB the guarantee is PROCESS-crash-exact by default: table
+        datafiles are not fsync'd unless cfg.durable_commits, so only
+        with that flag is marker-durable => tables-durable under power
+        loss (module docstring, DURABILITY GUARANTEE)."""
         with open(self._commit_log, "a") as f:
             f.write(json.dumps({"wave": wave}) + "\n")
             f.flush()
@@ -307,9 +380,7 @@ class CrawlEngine:
             self._mark_committed(last)
         if self.bloom is not None and self.frontier.exists():
             # bloom may be ahead of the rolled-back frontier; rebuild exactly
-            self.bloom = BloomSeenSet(
-                self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard
-            )
+            self.bloom = self._new_bloom()
             fr = self.frontier.read(self.spark)
             if fr.limit(1).count() > 0:
                 self.bloom.add_distributed(fr)
@@ -357,8 +428,8 @@ class CrawlEngine:
             or cfg.per_host_budget is not None
             or cfg.global_budget is not None
         )
+        recomputable = corpus is not None or cfg.fetch_df_fn is not None
         fast = self._fast_next_count is not None and not constrained
-        pending_cached = False
         wave_caches: list = []  # persisted intermediates, unpersisted at wave end
         if fast:
             # n_selected is KNOWN driver-side (last wave's rank total /
@@ -369,6 +440,7 @@ class CrawlEngine:
                 self._fast_next = None
                 self._fast_next_count = None
                 self._fast_next_lo = None
+                self._fast_next_files = None
                 return {"wave": wave, "fetched": 0, "done": True}
             pending = self._fast_next
         else:
@@ -385,25 +457,47 @@ class CrawlEngine:
                 pending = apply_global_budget(pending, cfg.global_budget,
                                               persist_registry=wave_caches)
             pending = pending.persist()
-            pending_cached = True
+            wave_caches.append(pending)
             n_selected = pending.count()
         rank_lo = self._fast_next_lo if fast else None
         fast_nfiles = self._fast_next_nfiles if fast else None
+        src_delta_files = self._fast_next_files if fast else None
         self._fast_next = None
         self._fast_next_count = None
         self._fast_next_lo = None
         self._fast_next_nfiles = None
+        self._fast_next_files = None
         tick("select")
+        # visited-by-reference (module docstring): only possible when the
+        # selected set IS the previous frontier delta (fast path) and the
+        # fetch is deterministic/recomputable (the skipped subset, if any,
+        # is re-derived from the fetch plan)
+        elide_visited = fast and recomputable and src_delta_files is not None
         if n_selected == 0:
-            pending.unpersist()
             for df in wave_caches:
                 df.unpersist()
             return {"wave": wave, "fetched": 0, "done": True}
 
-        # keep the persisted handle: `pending` may be rebound to a derived
-        # plan below (repartition), on which unpersist() would no-op and
-        # leak the wave's cache entry
-        pending_src = pending
+        try:
+            return self._run_wave_body(
+                wave, corpus, cfg, pending, n_selected, rank_lo, fast_nfiles,
+                src_delta_files, elide_visited, recomputable, constrained,
+                wave_caches, phases, tick, t0,
+            )
+        finally:
+            # a failed commit/job must not leak the wave's cache entries
+            # into a long-lived session (ADVICE r3): every persisted frame
+            # of the wave is registered in wave_caches
+            for df in wave_caches:
+                df.unpersist()
+
+    def _run_wave_body(
+        self, wave, corpus, cfg, pending, n_selected, rank_lo, fast_nfiles,
+        src_delta_files, elide_visited, recomputable, constrained,
+        wave_caches, phases, tick, t0,
+    ) -> dict:
+        acc0 = (self.scrape_time_acc.value
+                if self.scrape_time_acc is not None else None)
 
         # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
         # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
@@ -457,18 +551,23 @@ class CrawlEngine:
         # the steady wave's single hottest stage, and it is pure memory
         # traffic — the component that scales WORST across cores on a
         # bandwidth-shared host. Deterministic fetch paths (corpus join /
-        # column-level fetch fn) instead persist only the narrow visited
-        # projection and let its materialization re-run the fetch with
-        # the html column PRUNED away (column pruning reaches the corpus
-        # cache scan / drops the html-building exprs entirely). The live
-        # HTTP path cannot re-fetch, so it alone keeps the full-row cache.
-        recomputable = corpus is not None or cfg.fetch_df_fn is not None
+        # column-level fetch fn) let column pruning re-run the fetch with
+        # the html column PRUNED away wherever content isn't needed. The
+        # live HTTP path cannot re-fetch, so it alone keeps the full-row
+        # cache. When the visited state is committed by reference
+        # (elide_visited) no visited-source cache exists at all — the
+        # gate-skipped subset, usually empty, is re-derived on demand.
+        visited_src = None
         if recomputable:
-            visited_src = fetched.select("url_hash", "url", "_gate").persist()
+            if not elide_visited:
+                visited_src = fetched.select(
+                    "url_hash", "url", "_gate"
+                ).persist()
+                wave_caches.append(visited_src)
         else:
             fetched = fetched.persist()
             visited_src = fetched
-        wave_caches.append(visited_src)
+            wave_caches.append(fetched)
 
         # ---- scrape stage (single pass over HTML: content + links); the
         # raw html column is dropped before the cache — no consumer reads
@@ -478,6 +577,7 @@ class CrawlEngine:
             cfg.include_selectors or None,
             cfg.exclude_selectors or None,
             extract_links_too=not cfg.seed_list_mode,
+            time_acc=self.scrape_time_acc,
         )
         scraped = (
             fetched.filter(F.col("_gate"))
@@ -485,6 +585,7 @@ class CrawlEngine:
             .drop("html")
             .persist()
         )
+        wave_caches.append(scraped)
 
         # ---- discovery stage FIRST: the rank offset job is the wave's one
         # materializing pass — it fills the scraped cache (and in live mode
@@ -574,6 +675,7 @@ class CrawlEngine:
                 new_links, ["okey"], "wrank",
                 start=0, bucket_col=bucket,
             )
+            wave_caches.append(pinned)
             tick("dedup_rank")
 
         if cfg.seed_list_mode:
@@ -653,13 +755,55 @@ class CrawlEngine:
             )
             phases["visited_append"] = round(time.time() - t, 3)
 
-        commits = [_commit_pages, _commit_visited]
-        if discovered:
-            commits.append(_commit_frontier)
-            if self.bloom is not None:
-                commits.append(_commit_bloom)
-        with ThreadPoolExecutor(max_workers=len(commits)) as pool:
-            for fut in [pool.submit(c) for c in commits]:
+        def _commit_visited_by_ref(pages_fut) -> None:
+            # the selected set IS the previous frontier delta, so the
+            # visited commit is a manifest-level REFERENCE to those files
+            # (module docstring). Gate-passed count falls out of the pages
+            # append's parquet footers — waiting on the pages future costs
+            # nothing extra (the wave barrier is max over all commits) and
+            # needs ZERO jobs; only the (rare) gate-skipped subset, known
+            # by subtraction, pays a physical append.
+            t = time.time()
+            pages_fut.result()
+            n_gate = int(results["pages"]["summary"]["rows"])
+            n_skip = n_selected - n_gate
+            minus_files: list[str] = []
+            if n_skip > 0:
+                skipped = fetched.filter(~F.col("_gate")).select(
+                    "url_hash", "url",
+                    F.lit(wave).cast("int").alias("wave_visited"),
+                    F.lit("skipped").alias("status"),
+                )
+                man = self.visited.append(
+                    skipped, {"wave": wave, "kind": "skipped"},
+                    target_partitions=_npart(n_skip, cap=self._wcap),
+                )
+                minus_files = man["delta_files"]
+            self.visited.append_virtual(
+                {
+                    "files": src_delta_files,
+                    "select": ["url_hash", "url"],
+                    "constants": [["wave_visited", "int", wave],
+                                  ["status", "string", "done"]],
+                    "minus_files": minus_files,
+                },
+                {"wave": wave, "rows": n_selected - n_skip,
+                 "kind": "visited_ref"},
+            )
+            phases["visited_append"] = round(time.time() - t, 3)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            pages_fut = pool.submit(_commit_pages)
+            futs = [pages_fut]
+            if elide_visited:
+                futs.append(pool.submit(_commit_visited_by_ref, pages_fut))
+            else:
+                futs.append(pool.submit(_commit_visited))
+            if discovered:
+                futs.append(pool.submit(_commit_frontier))
+                if self.bloom is not None:
+                    futs.append(pool.submit(_commit_bloom))
+            for fut in futs:
                 fut.result()  # re-raises: a failed commit leaves no marker
         self._mark_committed(wave)
         tick("commit_wall")
@@ -674,13 +818,11 @@ class CrawlEngine:
                 self._fast_next_count = n_new
                 self._fast_next_lo = base
                 self._fast_next_nfiles = len(results["frontier"]["delta_files"])
+                self._fast_next_files = results["frontier"]["delta_files"]
             elif n_new == 0 and not constrained:
                 # nothing discovered: next wave terminates with zero jobs
                 self._fast_next = None
                 self._fast_next_count = 0
-            pinned.unpersist()
-        for df in wave_caches:
-            df.unpersist()
 
         dt = time.time() - t0
         m = {
@@ -688,15 +830,23 @@ class CrawlEngine:
             "new_links": int(n_new), "seconds": dt, "done": False,
         }
         if cfg.profile:
+            # wall window of the wave — the bench maps executor stage
+            # metrics (statusStore) onto waves with it
+            m["t_start"] = t0
+            m["t_end"] = t0 + dt
+        if cfg.profile:
+            if acc0 is not None:
+                # summed Python seconds across all workers' scrape batches
+                # this wave (divide by cores for the wall-clock share)
+                phases["scrape_udf_py_s"] = round(
+                    self.scrape_time_acc.value - acc0, 3
+                )
             m["phases"] = phases
         # metrics rows are informational (recovery keys off `visited`);
         # buffered driver-side, flushed once per run (flush_metrics)
         self._metrics_buf.append(
             (wave, n_selected, int(n_pages), int(n_new), float(dt))
         )
-        scraped.unpersist()
-        if pending_cached:
-            pending_src.unpersist()
         return m
 
     # -------------------------------------------------------------------- run
@@ -713,10 +863,15 @@ class CrawlEngine:
         """Crawl to frontier exhaustion. With ``resume=True`` the engine
         recovers from the last committed wave instead of seeding.
         ``corpus=None`` switches the fetch stage to live HTTP
-        (sources/http_fetch.py). ``on_wave``, if given, is called with each
-        wave's metrics dict (CLI progress reporting)."""
+        (sources/http_fetch.py); with ``cfg.respect_robots`` the engine
+        then auto-fetches /robots.txt per newly-seen host into a TTL'd
+        cache table and gates every wave (``robots_rules`` may still be
+        passed to pre-seed/override rules — both gates apply). ``on_wave``,
+        if given, is called with each wave's metrics dict (CLI progress
+        reporting)."""
         if robots_rules is not None and robots_rules.isEmpty():
             robots_rules = None  # ONE emptiness job per run, not per wave
+        live_robots = self.cfg.respect_robots and corpus is None
         prepared_corpus = None
         if corpus is not None:
             # prepare the fetch source ONCE per run: hash-partitioned and
@@ -738,6 +893,7 @@ class CrawlEngine:
             self._fast_next_count = None
             self._fast_next_lo = None
             self._fast_next_nfiles = None
+            self._fast_next_files = None
             start_wave = self.recover() + 1
             # reference parity: every run re-validates + INSERT-OR-IGNOREs
             # the seed list into the existing store (scraper.py:258-272),
@@ -762,7 +918,15 @@ class CrawlEngine:
         while True:
             if self.cfg.max_waves is not None and wave > self.cfg.max_waves:
                 break
-            m = self.run_wave(wave, corpus, robots_rules)
+            wave_rules = robots_rules
+            if live_robots:
+                self._robots_refresh(wave)
+                live_rules = self.robots_active_rules()
+                wave_rules = (
+                    live_rules if wave_rules is None
+                    else wave_rules.unionByName(live_rules)
+                )
+            m = self.run_wave(wave, corpus, wave_rules)
             all_metrics.append(m)
             if on_wave is not None:
                 on_wave(m)
@@ -773,6 +937,84 @@ class CrawlEngine:
         if prepared_corpus is not None:
             prepared_corpus.unpersist()
         return all_metrics
+
+    # ---------------------------------------------------------------- robots
+
+    def _robots_hosts_state(self) -> dict[str, float]:
+        """host -> latest fetched_at from the robots cache (driver-side:
+        robots rows are a handful per host, hosts per CRAWL are bounded —
+        this is host-cardinality metadata, not frontier-cardinality)."""
+        if not self.robots.exists():
+            return {}
+        rows = (
+            self.robots.read(self.spark)
+            .groupBy("host").agg(F.max("fetched_at").alias("t"))
+            .collect()
+        )
+        return {r["host"]: float(r["t"]) for r in rows}
+
+    def _robots_refresh(self, wave: int) -> int:
+        """Fetch + parse + cache /robots.txt for every pending host whose
+        cache entry is missing or older than cfg.robots_ttl_s (north_rule
+        C7: "robots cache table (host -> rules, TTL)"). Fetches run
+        driver-side over the DISTINCT pending hosts (new/expired hosts per
+        wave are few; page fetches stay distributed). A fetch failure or
+        empty body caches a permissive entry — reference parity is
+        default-permissive (scraper.py never reads robots.txt)."""
+        cfg = self.cfg
+        now = time.time()
+        state = self._robots_hosts_state()
+        hosts = [
+            r["host"]
+            for r in self.pending().select("host").distinct().collect()
+        ]
+        need = [
+            h for h in hosts
+            if h not in state or now - state[h] > cfg.robots_ttl_s
+        ]
+        if not need:
+            return 0
+        if cfg.robots_fetch_fn is not None:
+            fetch = cfg.robots_fetch_fn
+        else:
+            def fetch(host: str) -> str | None:
+                try:
+                    import requests
+
+                    resp = requests.get(f"https://{host}/robots.txt",
+                                        timeout=5)
+                    return resp.text if resp.status_code == 200 else None
+                except Exception:
+                    return None
+        rows = []
+        for h in need:
+            body = fetch(h)
+            prefixes = parse_robots_txt(body or "", agent=cfg.robots_agent)
+            if prefixes:
+                rows.extend((h, p, float(now)) for p in prefixes)
+            else:  # permissive marker row: TTL applies to empty rules too
+                rows.append((h, None, float(now)))
+        self.robots.append(
+            self.spark.createDataFrame(
+                rows, "host string, disallow_prefix string, fetched_at double"
+            ),
+            {"wave": wave, "kind": "robots"},
+            target_partitions=1,
+        )
+        return len(need)
+
+    def robots_active_rules(self) -> DataFrame:
+        """Current rules for robots_gate: per host, only the LATEST fetch's
+        rows count (re-fetches supersede, append-only storage), and
+        permissive marker rows (NULL prefix) drop out."""
+        r = self.robots.read(self.spark)
+        w_max = r.groupBy("host").agg(F.max("fetched_at").alias("_t"))
+        return (
+            r.join(w_max, "host")
+            .filter(F.col("fetched_at") == F.col("_t"))
+            .filter(F.col("disallow_prefix").isNotNull())
+            .select("host", "disallow_prefix")
+        )
 
     def flush_metrics(self) -> None:
         if not self._metrics_buf:
@@ -834,7 +1076,8 @@ class CrawlEngine:
         return self.pages.read(self.spark).orderBy("discovery_rank")
 
     def drop(self) -> None:
-        for t in (self.frontier, self.visited, self.pages, self.metrics):
+        for t in (self.frontier, self.visited, self.pages, self.metrics,
+                  self.robots):
             t.drop()
         if os.path.exists(self._bloom_path):
             os.remove(self._bloom_path)

@@ -30,6 +30,7 @@ Reference semantics preserved:
 from __future__ import annotations
 
 import re
+import time
 from urllib.parse import urljoin
 
 import pandas as pd
@@ -96,16 +97,22 @@ def extract_hrefs(html: str) -> list[str]:
     return [a if a else b for a, b in _HREF_RE.findall(html or "")]
 
 
-def extract_links(html: str, page_url: str) -> list[str]:
+def extract_links(html: str, page_url: str,
+                  pre_sanitized: bool = False) -> list[str]:
     """Absolute out-links in first-occurrence document order, urljoined
     against the page URL (scraper.py:161) and de-duplicated.
 
     Already-absolute http(s) hrefs skip urljoin — identical output
     (urljoin(base, abs) == abs for http/https), and urljoin is the
-    scrape stage's hottest call at ~100 links/page."""
+    scrape stage's hottest call at ~100 links/page.
+
+    ``pre_sanitized``: the caller already ran sanitize_html on the doc —
+    the hot scrape UDF sanitizes ONCE and feeds both this and scrape_page
+    (sanitize is idempotent, so double-calling is correct but wasted)."""
     seen: set[str] = set()
     out: list[str] = []
-    for href in extract_hrefs(sanitize_html(html)):
+    doc = html if pre_sanitized else sanitize_html(html)
+    for href in extract_hrefs(doc):
         if href.startswith("https://") or href.startswith("http://"):
             absolute = href
         else:
@@ -261,11 +268,13 @@ def scrape_page(
     html: str,
     include_selectors: list[str] | None = None,
     exclude_selectors: list[str] | None = None,
+    pre_sanitized: bool = False,
 ) -> tuple[str | None, str, str | None, str | None]:
     """(markdown|None, title, caption|None, image_id|None) — the reference's
     scrape_page contract (scraper.py:176-245): selector filtering, title
-    from the ORIGINAL doc, empty markdown -> None."""
-    doc = sanitize_html(html)
+    from the ORIGINAL doc, empty markdown -> None. ``pre_sanitized`` as in
+    extract_links."""
+    doc = html if pre_sanitized else sanitize_html(html)
     title = extract_title(doc)
     filtered = filter_html(doc, include_selectors, exclude_selectors)
     md = html_to_markdown(filtered)
@@ -295,15 +304,22 @@ def make_scrape_udf(
     include_selectors: list[str] | None = None,
     exclude_selectors: list[str] | None = None,
     extract_links_too: bool = True,
+    time_acc=None,
 ):
     """Build the per-batch scrape UDF with selector config compiled in
     (config is closure state, broadcast with the task — no per-row branching).
     One pass produces content+metadata+links so the fetched HTML is read
-    once (reference reuses the fetched body the same way, scraper.py:345-356).
+    once (reference reuses the fetched body the same way,
+    scraper.py:345-356), and the doc is SANITIZED once — scrape_page and
+    extract_links share the blanked-span view (ADVICE r3).
+
+    ``time_acc``: optional Spark accumulator; each batch adds its Python
+    wall seconds — the bench attributes the wave's UDF CPU share with it.
     """
 
     @F.pandas_udf(_SCRAPE_SCHEMA)
     def scrape_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        t0 = time.perf_counter() if time_acc is not None else 0.0
         contents, titles, captions, image_ids, links = [], [], [], [], []
         for h, u in zip(html, url):
             if h is None:
@@ -313,14 +329,20 @@ def make_scrape_udf(
                 image_ids.append(None)
                 links.append([])
                 continue
+            doc = sanitize_html(h)
             md, title, caption, image_id = scrape_page(
-                h, include_selectors, exclude_selectors
+                doc, include_selectors, exclude_selectors, pre_sanitized=True
             )
             contents.append(md)
             titles.append(title)
             captions.append(caption)
             image_ids.append(image_id)
-            links.append(extract_links(h, u) if extract_links_too else [])
+            links.append(
+                extract_links(doc, u, pre_sanitized=True)
+                if extract_links_too else []
+            )
+        if time_acc is not None:
+            time_acc.add(time.perf_counter() - t0)
         return pd.DataFrame(
             {
                 "content": contents,

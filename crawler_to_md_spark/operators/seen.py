@@ -1,4 +1,4 @@
-"""URL-seen set: partitioned bloom-filter shards + exact anti-join backing.
+"""URL-seen set: bloom-filter prefilter + exact anti-join backing.
 
 The reference's seen-set is the SQLite primary key on links.url with
 INSERT OR IGNORE (database_manager.py:75-78) — an O(log n) B-tree probe per
@@ -8,30 +8,49 @@ overwhelmingly-duplicate candidate stream BEFORE that shuffle
 (north_rule: "partitioned bloom/cuckoo-filter URL-seen set (broadcast
 shards merged via treeReduce)").
 
-Design:
-- P shards keyed by ``pmod(url_hash, P)``. Each shard is an m-bit numpy
-  bit array; k probe positions are derived from the 64-bit url_hash by
-  splitmix64 remixing (vectorized numpy — no per-row Python).
-- Build runs DISTRIBUTED via ``applyInPandas`` over the shard key: every
-  shard's bits are OR-folded from its partition's hashes on executors and
-  only the P small bitmaps travel to the driver (the treeReduce-merge
-  shape; with P=64, m=2^23 that is 64 MiB total for ~10^8 URLs/shard).
-- Incremental: each wave ORs the new URLs' bitmaps into the held shards
-  (bloom unions are exact), persisted alongside the checkpoint manifest so
-  resume skips the rebuild.
-- Probe is a broadcast pandas UDF: candidates flagged "maybe-seen" go to
-  the EXACT anti-join; "definitely-new" skip it. Bloom false positives
-  therefore cost a join probe, never a dropped URL — exact parity with the
-  reference's PK semantics is preserved by construction (SURVEY.md J1).
+Two interchangeable implementations (same duck-type API —
+``add_distributed / probe / save / load``):
+
+- ``JvmBloomSeenSet`` (default): the filter is Spark's own sketch
+  ``BloomFilter``. The BUILD is one JVM aggregation
+  (``BloomFilterAggregate``): each task builds a partial filter over its
+  partition and the partials are OR-merged up the agg tree — exactly the
+  "per-partition shards merged via treeReduce" shape, with zero Python.
+  The PROBE is the ``might_contain`` catalyst expression over the
+  serialized filter literal: it runs INSIDE whole-stage codegen, so the
+  hot candidate stream never pays a Python/Arrow round-trip (the r3
+  pandas-UDF probe was the wave's last remaining Arrow hop). The blob
+  rides to executors with the broadcast task binary, once per stage.
+- ``BloomSeenSet`` (numpy fallback): P shards keyed by
+  ``pmod(url_hash, P)``, built via ``applyInPandas`` per shard, probed by
+  a broadcast pandas UDF. Kept as the portability fallback (the JVM path
+  touches catalyst internals via py4j: ``BloomFilterAggregate`` /
+  ``BloomFilterMightContain`` are not in the public function registry)
+  and as the reader for stores whose persisted bloom predates the JVM
+  format.
+
+Both are PREFILTERS only: candidates flagged "maybe-seen" go to the EXACT
+anti-join; "definitely-new" skip it. Bloom false positives therefore cost
+a join probe, never a dropped URL — exact parity with the reference's PK
+semantics is preserved by construction (SURVEY.md J1).
+
+Scale note (10^10 frontier): a broadcast filter covering 10^10 keys is
+~20 GB — too big to ship whole. The production shape keeps per-hash-range
+filter shards resident on the executors that own the range (candidates
+are already shuffled by url_hash for the exact join, so each task probes
+only its range's shard); both classes here keep the shard/merge structure
+that design needs, sized down to the sandbox.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -146,6 +165,11 @@ class BloomSeenSet:
 
         return probe
 
+    def probe(self, spark: SparkSession, col: Column) -> Column:
+        """Unified probe API (see JvmBloomSeenSet.probe): boolean
+        maybe-seen Column for a hash Column."""
+        return self.maybe_seen_udf(spark)(col)
+
     # -- persistence (checkpoint integration) --------------------------------
 
     def save(self, path: str) -> None:
@@ -164,22 +188,215 @@ class BloomSeenSet:
         return obj
 
 
+_JBLOOM_MAGIC = b"JBLOOM1\n"
+
+
+class JvmBloomSeenSet:
+    """Seen-set bloom filter held as Spark's JVM sketch ``BloomFilter``.
+
+    Build = one JVM aggregation per delta (``BloomFilterAggregate``:
+    per-partition partial filters, OR-merged — the treeReduce shape);
+    probe = the ``might_contain`` expression over the serialized filter
+    (whole-stage codegen, no Python worker). Serialized-blob merging is
+    exact (bloom union), so per-wave deltas fold into the held filter
+    incrementally and persist with the checkpoint for resume.
+
+    ``capacity`` and ``num_bits`` are FIXED for the filter's lifetime and
+    must be identical for every delta build — Spark derives the hash count
+    from (capacity, num_bits) and refuses to merge incompatible sketches.
+    """
+
+    def __init__(self, spark: SparkSession, num_bits: int = 1 << 25,
+                 capacity: int | None = None):
+        self.spark = spark
+        self.num_bits = int(num_bits)
+        # 16 bits/key at capacity -> fp ~5e-4; beyond capacity the fp rate
+        # degrades gracefully and FPs only cost exact-join probes
+        self.capacity = int(capacity if capacity is not None
+                            else max(1, num_bits // 16))
+        jvm = spark.sparkContext._jvm
+        self._jbf = jvm.org.apache.spark.util.sketch.BloomFilter.create(
+            self.capacity, self.num_bits
+        )
+        self._blob: bytes | None = None  # serialized cache for probe/save
+
+    # -- internals -----------------------------------------------------------
+
+    def _jexpr(self, col: Column):
+        jvm = self.spark.sparkContext._jvm
+        return jvm.org.apache.spark.sql.classic.ExpressionUtils.expression(
+            col._jc
+        )
+
+    def _col(self, jexpr) -> Column:
+        from pyspark.sql.classic.column import Column as _CCol
+
+        jvm = self.spark.sparkContext._jvm
+        return _CCol(
+            jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jexpr)
+        )
+
+    def serialized(self) -> bytes:
+        if self._blob is None:
+            jvm = self.spark.sparkContext._jvm
+            baos = jvm.java.io.ByteArrayOutputStream()
+            self._jbf.writeTo(baos)
+            self._blob = bytes(baos.toByteArray())
+        return self._blob
+
+    def _merge_blob(self, blob: bytes) -> None:
+        jvm = self.spark.sparkContext._jvm
+        delta = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytearray(blob))
+        )
+        self._jbf.mergeInPlace(delta)
+        self._blob = None
+
+    # -- build / update ------------------------------------------------------
+
+    def add_distributed(self, df: DataFrame, hash_col: str = "url_hash",
+                        fold_partitions: int | None = None) -> None:
+        """OR a delta of hashes into the filter: one JVM agg job (partial
+        filter per task, merged), one ``num_bits/8``-byte blob to the
+        driver. ``fold_partitions`` coalesces the input first — each task's
+        partial buffer is a full-size filter, so fewer tasks = less partial
+        shuffle volume (the scan side stays cheap: a narrow long column)."""
+        jvm = self.spark.sparkContext._jvm
+        # BloomFilterAggregate SILENTLY CLAMPS its size arguments to the
+        # runtime-filter conf ceilings (Math.min in Spark's
+        # BloomFilterAggregate) — a clamped delta has a different bit size
+        # and refuses to merge. Raise the ceilings to this filter's size.
+        conf = df.sparkSession.conf
+        for key, val in (
+            ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+             self.capacity),
+            ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+             self.num_bits),
+        ):
+            try:
+                cur = int(conf.get(key))
+            except Exception:
+                cur = 0
+            if cur < val:
+                conf.set(key, str(val))
+        src = df.select(F.col(hash_col).alias("h"))
+        k = fold_partitions or min(
+            8, self.spark.sparkContext.defaultParallelism
+        )
+        src = src.coalesce(k)
+        agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate.\
+            BloomFilterAggregate(
+                self._jexpr(F.col("h")),
+                self._jexpr(F.lit(self.capacity).cast("long")),
+                self._jexpr(F.lit(self.num_bits).cast("long")),
+            )
+        blob = src.agg(
+            self._col(agg.toAggregateExpression()).alias("b")
+        ).collect()[0]["b"]
+        if blob is not None:  # None <=> empty delta
+            self._merge_blob(bytes(blob))
+
+    # -- probe ---------------------------------------------------------------
+
+    def probe(self, spark: SparkSession, col: Column) -> Column:
+        """Boolean maybe-seen Column: ``might_contain(<filter blob>, col)``.
+        Pure JVM codegen — the blob literal ships with the (broadcast)
+        task binary once per stage, replacing the pandas-UDF probe's
+        per-wave Python round-trip."""
+        jvm = self.spark.sparkContext._jvm
+        expr = jvm.org.apache.spark.sql.catalyst.expressions.\
+            BloomFilterMightContain(
+                self._jexpr(F.lit(bytearray(self.serialized()))),
+                self._jexpr(col),
+            )
+        return self._col(expr)
+
+    # -- persistence (checkpoint integration) --------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        blob = self.serialized()
+        meta = json.dumps(
+            {"num_bits": self.num_bits, "capacity": self.capacity}
+        ).encode()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_JBLOOM_MAGIC)
+            f.write(struct.pack("<q", len(meta)))
+            f.write(meta)
+            f.write(blob)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession) -> "JvmBloomSeenSet":
+        with open(path, "rb") as f:
+            magic = f.read(len(_JBLOOM_MAGIC))
+            if magic != _JBLOOM_MAGIC:
+                raise ValueError("not a JVM bloom file")
+            (mlen,) = struct.unpack("<q", f.read(8))
+            meta = json.loads(f.read(mlen))
+            blob = f.read()
+        obj = cls(spark, num_bits=meta["num_bits"], capacity=meta["capacity"])
+        obj._merge_blob(blob)
+        return obj
+
+
+def new_seen_set(spark: SparkSession, num_shards: int = 16,
+                 bits_per_shard: int = 1 << 21, impl: str = "jvm"):
+    """Seen-set factory: JVM sketch filter by default (total bits =
+    shards x bits/shard), numpy shard fallback when the catalyst internals
+    aren't reachable (or ``impl='numpy'``)."""
+    if impl == "jvm":
+        try:
+            return JvmBloomSeenSet(spark, num_bits=num_shards * bits_per_shard)
+        except Exception:  # py4j/internal-API unavailable -> numpy path
+            pass
+    return BloomSeenSet(num_shards, bits_per_shard)
+
+
+def load_seen_set(path: str, spark: SparkSession):
+    """Load a persisted seen-set, whichever format wrote it (JVM blob or
+    legacy numpy npz). Returns None when the file is unreadable — callers
+    must then REBUILD from the frontier (an unreadable bloom silently
+    treated as empty would FALSE-NEGATIVE every seen URL and re-crawl the
+    store)."""
+    try:
+        return JvmBloomSeenSet.load(path, spark)
+    except (ValueError, OSError, KeyError):
+        pass
+    try:
+        return BloomSeenSet.load(path)
+    except Exception:
+        return None
+
+
 def anti_join_new(
     candidates: DataFrame,
     seen: DataFrame,
     key: str = "url_hash",
-    bloom: BloomSeenSet | None = None,
+    bloom=None,
     confirm_col: str = "url",
     persist_registry: list | None = None,
 ) -> DataFrame:
     """Candidates not present in the seen-set (reference INSERT OR IGNORE,
     database_manager.py:75-78 — SURVEY.md J1).
 
-    With a bloom: definitely-new rows (bloom miss) bypass the shuffle
-    entirely; only maybe-seen rows pay the exact anti-join. The union of
-    both branches is exact — bloom FPs are re-checked, never dropped.
-    Joining on (key, confirm_col) string-confirms against 64-bit hash
-    collisions when confirm_col is available on both sides.
+    With a bloom (``BloomSeenSet`` or ``JvmBloomSeenSet``): definitely-new
+    rows (bloom miss) bypass the shuffle entirely; only maybe-seen rows
+    pay the exact anti-join. The union of both branches is exact — bloom
+    FPs are re-checked, never dropped. Joining on (key, confirm_col)
+    string-confirms against 64-bit hash collisions when confirm_col is
+    available on both sides.
+
+    CACHE CONTRACT (bloom path only): this function ``persist()``s the
+    probed candidate stream — both output branches consume it, and the
+    probe + its upstream plan must run once, not once per branch. The
+    cache is registered in ``persist_registry`` (pass a list and
+    ``unpersist()`` every entry after the LAST action on the returned
+    DataFrame); calling with ``persist_registry=None`` in a long-lived
+    session LEAKS one cache entry of ~len(candidates) rows per call
+    (acceptable only for run-once scripts/tests). Leak-checked by
+    tests/test_seen_politeness.py::test_anti_join_persist_registry_no_leak.
     """
     join_keys = [key] + (
         [confirm_col]
@@ -188,13 +405,8 @@ def anti_join_new(
     )
     if bloom is None:
         return candidates.join(seen.select(*join_keys), join_keys, "left_anti")
-    probe = bloom.maybe_seen_udf(candidates.sparkSession)
-    # persist the flagged stream: both branches below consume it, and the
-    # probe (an Arrow UDF pass) must run once, not once per branch. The
-    # caller passes ``persist_registry`` to unpersist it after its last
-    # action (a wave caches ~selected*branching candidate rows here —
-    # leaking that across waves churns executor memory).
-    flagged = candidates.withColumn("_maybe_seen", probe(F.col(key))).persist()
+    probe_col = bloom.probe(candidates.sparkSession, F.col(key))
+    flagged = candidates.withColumn("_maybe_seen", probe_col).persist()
     if persist_registry is not None:
         persist_registry.append(flagged)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")

@@ -25,6 +25,25 @@ State updates are APPEND-ONLY LOGS, never in-place row updates: the
 frontier's ``visited`` transition (reference ``UPDATE links SET visited``,
 database_manager.py:93) is an append to a ``visited`` table and an
 anti-join at read time — the scalable MERGE-free variant of SURVEY.md J2.
+
+VIRTUAL DELTAS: a commit may contribute rows by REFERENCE instead of by
+write — a manifest entry pointing at parquet files that already exist in
+another table, plus constant columns and an optional small exclusion set.
+The crawl engine uses this to mark a whole frontier delta "visited"
+without re-writing the same (url_hash, url) rows every wave (an
+unconstrained wave visits exactly the rows the previous wave's frontier
+append introduced — the physical re-append was pure write amplification).
+``read()`` unions the referenced files (projected + constants) with the
+physical data; Iceberg's analog is a manifest referencing existing
+datafiles from another snapshot.
+
+DURABILITY: commits are atomic against PROCESS crashes (write-temp +
+``os.replace``). Against power loss / kernel crashes they are only
+durable with ``durable=True``, which fsyncs datafiles, manifest, and the
+CURRENT pointer (plus their directories) before publish — off by default
+because the crawl engine's commit marker (engine._mark_committed) defines
+the recovery point and a lost-but-marked wave cannot happen within one
+OS lifetime; see the engine docstring for the exact guarantee.
 """
 
 from __future__ import annotations
@@ -35,6 +54,14 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _footer_rows(files: list[str]) -> int:
@@ -57,8 +84,9 @@ def _footer_rows(files: list[str]) -> int:
 
 
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, durable: bool = False):
         self.root = root
+        self.durable = durable
         self._manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -87,9 +115,13 @@ class SnapshotTable:
         return [self._manifest(v) for v in range(1, self.current_version() + 1)]
 
     def _commit(self, files: list[str], summary: dict, schema_json: str,
-                delta_files: list[str] | None = None) -> dict:
+                delta_files: list[str] | None = None,
+                virtual: list[dict] | None = None) -> dict:
         parent = self.current_version()
         version = parent + 1
+        if virtual is None:  # carry the accumulated virtual deltas forward
+            cur = self.current_snapshot()
+            virtual = (cur.get("virtual") or []) if cur else []
         manifest = {
             "version": version,
             "parent": parent,
@@ -98,15 +130,31 @@ class SnapshotTable:
             "summary": summary,
             "schema": schema_json,
         }
+        if virtual:
+            manifest["virtual"] = virtual
+        if self.durable:
+            for p in manifest["delta_files"]:
+                if "://" not in p:
+                    _fsync_path(p)
+            if manifest["delta_files"]:
+                _fsync_path(os.path.dirname(manifest["delta_files"][0]))
         mpath = os.path.join(self._manifest_dir, f"v{version:06d}.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            if self.durable:
+                f.flush()
+                os.fsync(f.fileno())
         os.replace(tmp, mpath)
         ctmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
         with open(ctmp, "w") as f:
             f.write(str(version))
+            if self.durable:
+                f.flush()
+                os.fsync(f.fileno())
         os.replace(ctmp, self._current_path())
+        if self.durable:
+            _fsync_path(self._manifest_dir)
         return manifest
 
     # -- writes ---------------------------------------------------------------
@@ -151,19 +199,70 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         files, schema_json = self._write_datafiles(df)
-        return self._commit(files, summary or {}, schema_json)
+        return self._commit(files, summary or {}, schema_json, virtual=[])
+
+    def append_virtual(self, spec: dict, summary: dict | None = None) -> dict:
+        """Commit rows BY REFERENCE: no datafiles are written; ``read()``
+        will union the referenced files into this table's rows.
+
+        ``spec``::
+
+            {"files":     [parquet paths in some other table],
+             "select":    [columns to project from those files],
+             "constants": [[name, sql_type, value], ...],  # appended cols
+             "minus_files": [parquet paths]}  # optional small exclusion
+                # set: referenced rows ALSO present (on the `select` key
+                # columns) in minus_files are dropped from this delta —
+                # lets one physical append of exceptions carve rows out of
+                # a bulk reference.
+
+        The caller must pass ``summary['rows']`` (no footers are read here;
+        the engine knows the count driver-side).
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError(
+                "append_virtual needs a prior snapshot to define the schema"
+            )
+        virtual = (cur.get("virtual") or []) + [spec]
+        return self._commit(cur["files"], dict(summary or {}), cur["schema"],
+                            delta_files=[], virtual=virtual)
 
     # -- reads ----------------------------------------------------------------
 
-    def _read_manifest(self, spark: SparkSession, m: dict | None) -> DataFrame:
-        if m is None or not m["files"]:
-            if m is not None and m.get("schema"):
-                from pyspark.sql.types import StructType
+    def _read_virtual(self, spark: SparkSession, spec: dict,
+                      schema) -> DataFrame:
+        from pyspark.sql import functions as F
 
+        d = spark.read.parquet(*spec["files"]).select(*spec["select"])
+        if spec.get("minus_files"):
+            minus = spark.read.parquet(*spec["minus_files"]).select(
+                *spec["select"]
+            )
+            d = d.join(F.broadcast(minus), spec["select"], "left_anti")
+        for name, sql_type, value in spec.get("constants", []):
+            d = d.withColumn(name, F.lit(value).cast(sql_type))
+        return d.select(*[f.name for f in schema.fields])
+
+    def _read_manifest(self, spark: SparkSession, m: dict | None) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        if m is None:
+            raise ValueError(f"table {self.root} has no snapshots yet")
+        virtual = m.get("virtual") or []
+        if not m["files"] and not virtual:
+            if m.get("schema"):
                 schema = StructType.fromJson(json.loads(m["schema"]))
                 return spark.createDataFrame([], schema)
             raise ValueError(f"table {self.root} has no snapshots yet")
-        return spark.read.parquet(*m["files"])
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if m["files"]:
+            out = spark.read.parquet(*m["files"])
+        else:
+            out = spark.createDataFrame([], schema)
+        for spec in virtual:
+            out = out.unionByName(self._read_virtual(spark, spec, schema))
+        return out
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self._read_manifest(spark, self.current_snapshot())

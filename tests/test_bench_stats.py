@@ -125,6 +125,21 @@ def test_finalize_clean_near_session_min_and_bw_cap():
     assert bench._round_effs(lo_c, hi_c)["clean"] is False
 
 
+def test_gate_pool_selects_clean_rounds_only():
+    """VERDICT r3 #6: when ANY clean round exists, the headline median
+    must pool over clean rounds ONLY; the all-rounds fallback is reserved
+    for (and flagged by) clean_rounds == 0."""
+    clean_a = {"clean": True, "dedup_clean": True, "steady_efficiency": 0.82}
+    clean_b = {"clean": True, "dedup_clean": False, "steady_efficiency": 0.80}
+    storm = {"clean": False, "dedup_clean": False, "steady_efficiency": 0.30}
+    pool = bench._gate_pool([clean_a, storm, clean_b], "clean")
+    assert pool == [clean_a, clean_b]  # the storm round is excluded
+    assert bench._gate_pool([storm], "clean") == [storm]  # fallback
+    assert bench._gate_pool([clean_a, clean_b, storm], "dedup_clean") == [
+        clean_a
+    ]
+
+
 def test_historical_minima_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
     lo = _run(2, 80.0, 30.0, 28.0, hw=14.0)

@@ -7,7 +7,13 @@ from crawler_to_md_spark.operators.politeness import (
     robots_gate,
 )
 from crawler_to_md_spark.operators.rank import with_global_rank
-from crawler_to_md_spark.operators.seen import BloomSeenSet, anti_join_new
+from crawler_to_md_spark.operators.seen import (
+    BloomSeenSet,
+    JvmBloomSeenSet,
+    anti_join_new,
+    load_seen_set,
+    new_seen_set,
+)
 
 
 def _frontier(spark, n=200, hosts=5):
@@ -71,6 +77,122 @@ def test_bloom_save_load(tmp_path, spark):
     loaded = BloomSeenSet.load(p)
     assert np.array_equal(loaded.shards, bloom.shards)
     assert (loaded.P, loaded.m, loaded.k) == (bloom.P, bloom.m, bloom.k)
+
+
+def test_jvm_bloom_no_false_negatives_and_incremental_merge(spark):
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 18)
+    seen_a = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    seen_b = spark.range(3000, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen_a)
+    bloom.add_distributed(seen_b)  # per-wave incremental delta merge
+    both = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    hits = both.withColumn(
+        "hit", bloom.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 5000  # bloom never false-negatives, across merges
+
+
+def test_jvm_bloom_fp_rate_bounded(spark):
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 17)
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    fresh = spark.range(1_000_000, 1_010_000).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    fp = fresh.withColumn(
+        "hit", bloom.probe(spark, F.col("url_hash"))
+    ).agg(F.avg(F.col("hit").cast("double")).alias("r")).collect()[0]["r"]
+    assert fp <= 0.01, fp
+
+
+def test_jvm_bloom_probe_is_jvm_side(spark):
+    """The probe must compile to the might_contain expression (whole-stage
+    codegen), not a Python/Arrow eval stage — the r3->r4 scaling fix."""
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 14)
+    bloom.add_distributed(
+        spark.range(100).select(F.xxhash64("id").alias("url_hash"))
+    )
+    df = spark.range(100).select(F.xxhash64("id").alias("url_hash"))
+    plan = df.withColumn(
+        "m", bloom.probe(spark, F.col("url_hash"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_anti_join_with_jvm_bloom_is_exact(spark):
+    seen = _frontier(spark, 100).select("url_hash", "url")
+    cands = _frontier(spark, 150).select("url_hash", "url")
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 12)  # tiny -> FPs likely
+    bloom.add_distributed(seen)
+    caches: list = []
+    with_bloom = sorted(
+        r["url_hash"]
+        for r in anti_join_new(cands, seen, bloom=bloom,
+                               persist_registry=caches).collect()
+    )
+    for df in caches:
+        df.unpersist()
+    assert with_bloom == list(range(100, 150))
+
+
+def test_jvm_bloom_save_load_roundtrip(tmp_path, spark):
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 14)
+    seen = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    p = str(tmp_path / "b" / "seen.npz")
+    bloom.save(p)
+    loaded = load_seen_set(p, spark)
+    assert isinstance(loaded, JvmBloomSeenSet)
+    assert loaded.serialized() == bloom.serialized()
+    hits = seen.withColumn(
+        "hit", loaded.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 500
+
+
+def test_load_seen_set_reads_legacy_numpy_format(tmp_path, spark):
+    """Stores persisted by the numpy impl (rounds <= 3) keep working: the
+    loader detects the npz format and returns the numpy probe."""
+    legacy = BloomSeenSet(num_shards=2, bits_per_shard=1 << 12)
+    seen = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    legacy.add_distributed(seen)
+    p = str(tmp_path / "b" / "seen.npz")
+    legacy.save(p)
+    loaded = load_seen_set(p, spark)
+    assert isinstance(loaded, BloomSeenSet)
+    hits = seen.withColumn(
+        "hit", loaded.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 100
+    # unreadable file -> None (caller must rebuild, not treat as empty)
+    bad = str(tmp_path / "b" / "corrupt.npz")
+    with open(bad, "wb") as f:
+        f.write(b"not a bloom")
+    assert load_seen_set(bad, spark) is None
+
+
+def test_new_seen_set_factory(spark):
+    assert isinstance(new_seen_set(spark), JvmBloomSeenSet)
+    assert isinstance(new_seen_set(spark, impl="numpy"), BloomSeenSet)
+
+
+def test_anti_join_persist_registry_no_leak(spark):
+    """anti_join_new's cache contract: with a persist_registry, callers
+    can restore the session to its pre-call cache footprint."""
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    seen = _frontier(spark, 100).select("url_hash", "url")
+    cands = _frontier(spark, 150).select("url_hash", "url")
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 14)
+    bloom.add_distributed(seen)
+    caches: list = []
+    out = anti_join_new(cands, seen, bloom=bloom, persist_registry=caches)
+    assert out.count() == 50
+    assert len(caches) == 1
+    for df in caches:
+        df.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == base
 
 
 def test_host_quota_exact_path(spark):

@@ -1,0 +1,229 @@
+"""Visited-by-reference commits (r4): unconstrained waves mark the
+previous frontier delta visited via a manifest-level virtual delta
+(tables.py) instead of physically re-writing n_selected rows — the read
+view must be IDENTICAL to the physical-append engine's, gate-skipped
+rows must still be physically materialized and carved out, and resume
+must work across a store written this way."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crawler_to_md_spark.crawl.corpus import synth_corpus, synth_corpus_rows
+from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+from crawler_to_md_spark.crawl.simulator import simulate_crawl
+from crawler_to_md_spark.tables import SnapshotTable
+
+
+def _visited_data_bytes(root: str) -> int:
+    """Physically-written visited ROWS (parquet footers; the wave-0 empty
+    append writes a 0-row file, so bytes alone can't distinguish)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    ddir = os.path.join(root, "visited", "data")
+    for dirpath, _dirs, files in os.walk(ddir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, f)
+                ).metadata.num_rows
+    return total
+
+
+def test_unconstrained_wave_commits_visited_by_reference(spark, tmp_path):
+    """Gate-passing rows (200/text-html corpus hits) must contribute ZERO
+    physical visited rows — only corpus-miss/dangling URLs (gate-skipped)
+    are materialized; the view is still exact."""
+    n = 30
+    root = str(tmp_path / "store")
+    corpus = synth_corpus(spark, n_pages=n, n_hosts=1, branching=2, seed=7)
+    # strip the synthetic 404/500/pdf quirks -> every corpus HIT passes
+    # the gate (dangling/off-corpus links still miss -> skipped)
+    corpus = corpus.withColumn("status", F.lit(200)).withColumn(
+        "content_type", F.lit("text/html; charset=utf-8")
+    )
+    eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+    eng.run(corpus, single_url="https://host0.example/p/0")
+
+    vis = eng.visited.read(spark)
+    fr = eng.frontier.read(spark)
+    assert vis.count() == fr.count()  # every discovered URL was visited
+    # join-consistency: visited rows ARE the frontier rows, no dups
+    assert vis.join(fr, ["url_hash", "url"], "left_anti").count() == 0
+    assert vis.count() == vis.select("url_hash", "url").distinct().count()
+    n_skipped = vis.filter(F.col("status") == "skipped").count()
+    n_done = vis.filter(F.col("status") == "done").count()
+    # done rows == pages table rows (gate-passed); they are VIRTUAL —
+    # the only physical rows are the skipped subset
+    assert n_done == eng.pages.read(spark).count()
+    assert _visited_data_bytes(root) == n_skipped
+    # and the manifests say so: virtual refs carry the done rows
+    virt = eng.visited.current_snapshot().get("virtual")
+    assert virt and all(spec["files"] for spec in virt)
+
+
+def test_gate_skipped_subset_is_physical_and_carved_out(spark, tmp_path):
+    """The default synthetic corpus has 404/500/pdf pages: those rows must
+    be physically appended with status='skipped' and EXCLUDED from the
+    virtual 'done' reference (no duplicate rows, correct statuses) — and
+    the whole engine state must still match the sequential reference
+    simulator."""
+    n = 60
+    rows = synth_corpus_rows(n_pages=n, n_hosts=3, branching=3, seed=42)
+    corpus = synth_corpus(spark, n_pages=n, n_hosts=3, branching=3, seed=42)
+    root = str(tmp_path / "store")
+    eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+    eng.run(corpus, single_url="https://host0.example/p/0")
+    sim = simulate_crawl(rows, single_url="https://host0.example/p/0",
+                         seed_list_mode=False)
+
+    vis = eng.visited.read(spark)
+    # no duplicate membership rows despite the physical+virtual split
+    assert vis.count() == vis.select("url_hash", "url").distinct().count()
+    got = {(r["url"], r["status"]) for r in vis.collect()}
+    # simulator: every visited link is either a page (done) or skipped
+    want_done = {u for u, v in sim.links.items()
+                 if v and u in sim.pages}
+    want_skipped = {u for u, v in sim.links.items()
+                    if v and u not in sim.pages}
+    assert {u for u, s in got if s == "done"} == want_done
+    assert {u for u, s in got if s == "skipped"} == want_skipped
+    # skipped rows really are physical parquet
+    assert _visited_data_bytes(root) > 0
+
+
+def test_resume_over_elided_store(spark, tmp_path):
+    """Kill after wave k of an elided-visited crawl, resume: final state
+    equals an uninterrupted run (the resume path's pending anti-join reads
+    through the virtual deltas)."""
+    n = 40
+    corpus = synth_corpus(spark, n_pages=n, n_hosts=3, branching=3, seed=42)
+    full_root = str(tmp_path / "full")
+    CrawlEngine(spark, full_root, CrawlConfig(use_bloom=False)).run(
+        corpus, single_url="https://host0.example/p/0"
+    )
+    part_root = str(tmp_path / "part")
+    eng = CrawlEngine(spark, part_root,
+                      CrawlConfig(use_bloom=False, max_waves=2))
+    eng.run(corpus, single_url="https://host0.example/p/0")
+    eng2 = CrawlEngine(spark, part_root, CrawlConfig(use_bloom=False))
+    eng2.run(corpus, single_url="https://host0.example/p/0", resume=True)
+
+    full = CrawlEngine(spark, full_root, CrawlConfig(use_bloom=False))
+    a = [(r["url"], r["visited"]) for r in full.links_state().collect()]
+    b = [(r["url"], r["visited"]) for r in eng2.links_state().collect()]
+    assert a == b
+
+
+def test_constrained_wave_keeps_physical_append(spark, tmp_path):
+    """A politeness-constrained crawl cannot elide (the selected set is a
+    strict subset of the delta) — visited rows must be physical."""
+    n = 30
+    corpus = synth_corpus(spark, n_pages=n, n_hosts=3, branching=3, seed=42)
+    root = str(tmp_path / "store")
+    eng = CrawlEngine(
+        spark, root,
+        CrawlConfig(use_bloom=False, per_host_budget=3, max_waves=3),
+    )
+    eng.run(corpus, single_url="https://host0.example/p/0")
+    assert _visited_data_bytes(root) > 0
+    cur = eng.visited.current_snapshot()
+    assert not cur.get("virtual")
+
+
+def test_append_virtual_generic_roundtrip(spark, tmp_path):
+    """tables.py virtual-delta mechanics in isolation: projection,
+    constants, minus_files carve-out, and carry-forward across a later
+    physical append."""
+    src = SnapshotTable(str(tmp_path / "src"))
+    man = src.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        {"wave": 0},
+    )
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    tbl.append(
+        spark.createDataFrame([], "k long, v string, tag string"), {"wave": 0}
+    )
+    minus = tbl.append(
+        spark.createDataFrame([(2, "b", "skip")],
+                              "k long, v string, tag string"),
+        {"wave": 1},
+    )
+    tbl.append_virtual(
+        {"files": man["delta_files"], "select": ["k", "v"],
+         "constants": [["tag", "string", "ok"]],
+         "minus_files": minus["delta_files"]},
+        {"wave": 1, "rows": 2},
+    )
+    got = sorted((r["k"], r["v"], r["tag"])
+                 for r in tbl.read(spark).collect())
+    assert got == [(1, "a", "ok"), (2, "b", "skip"), (3, "c", "ok")]
+    # later physical appends carry the virtual entries forward
+    tbl.append(
+        spark.createDataFrame([(9, "z", "late")],
+                              "k long, v string, tag string"),
+        {"wave": 2},
+    )
+    assert tbl.read(spark).count() == 4
+    assert len(tbl.current_snapshot()["virtual"]) == 1
+    # rollback_to drops the virtual rows with the snapshot
+    tbl.rollback_to(2)
+    assert tbl.read(spark).count() == 1
+
+
+def test_durable_commit_smoke(spark, tmp_path):
+    """durable=True fsyncs and still round-trips (behavioral parity; the
+    durability itself needs a power cut to observe)."""
+    tbl = SnapshotTable(str(tmp_path / "d"), durable=True)
+    tbl.append(spark.createDataFrame([(1,)], "k long"), {"wave": 0})
+    assert [r["k"] for r in tbl.read(spark).collect()] == [1]
+
+
+def test_elided_store_marker_rollback(spark, tmp_path):
+    """Crash between the visited-by-ref commit and the marker: recovery
+    rolls the virtual snapshot back (wave > marker)."""
+    n = 30
+    corpus = synth_corpus(spark, n_pages=n, n_hosts=1, branching=2, seed=7)
+    corpus = corpus.withColumn("status", F.lit(200)).withColumn(
+        "content_type", F.lit("text/html; charset=utf-8")
+    )
+    root = str(tmp_path / "store")
+    eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False, max_waves=2))
+    eng.run(corpus, single_url="https://host0.example/p/0")
+    committed = eng.last_committed_wave()
+    v_before = eng.visited.current_version()
+    # hand-craft wave k+1's visited-by-ref landing WITHOUT a marker
+    fr_delta = eng.frontier.current_snapshot()["delta_files"]
+    eng.visited.append_virtual(
+        {"files": fr_delta, "select": ["url_hash", "url"],
+         "constants": [["wave_visited", "int", committed + 1],
+                       ["status", "string", "done"]],
+         "minus_files": []},
+        {"wave": committed + 1, "rows": 1},
+    )
+    assert eng.visited.current_version() == v_before + 1
+    eng2 = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+    assert eng2.recover() == committed
+    assert eng2.visited.current_version() == v_before
+
+
+def test_virtual_manifest_shape_is_json_clean(spark, tmp_path):
+    """The manifest stays plain JSON (no Spark/py4j objects leak in)."""
+    src = SnapshotTable(str(tmp_path / "src"))
+    man = src.append(spark.createDataFrame([(1,)], "k long"), {"wave": 0})
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([], "k long, t string"), {"wave": 0})
+    tbl.append_virtual(
+        {"files": man["delta_files"], "select": ["k"],
+         "constants": [["t", "string", "x"]], "minus_files": []},
+        {"wave": 1, "rows": 1},
+    )
+    with open(os.path.join(str(tmp_path / "tbl"), "_manifests",
+                           "v000002.json")) as f:
+        m = json.load(f)
+    assert m["virtual"][0]["constants"] == [["t", "string", "x"]]
+    assert m["delta_files"] == []

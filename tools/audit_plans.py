@@ -109,6 +109,21 @@ def _audit_global_budget_large(spark):
     return df
 
 
+def _audit_bloom_anti_join(spark):
+    from crawler_to_md_spark.operators.seen import (
+        JvmBloomSeenSet,
+        anti_join_new,
+    )
+
+    seen = _politeness_frontier(spark).select("url_hash", "url")
+    cands = _politeness_frontier(spark).select("url_hash", "url")
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 14)  # tiny: keeps the
+    bloom.add_distributed(seen)                       # plan text readable
+    caches: list = []
+    df = anti_join_new(cands, seen, bloom=bloom, persist_registry=caches)
+    return df
+
+
 # operator-level audits (not QUERIES entries): builder -> plan assertions.
 # `expect_analyzed` / `forbid_analyzed` run against explain('extended')
 # (hints are visible only pre-optimization).
@@ -123,6 +138,18 @@ AUDITED_OPS = {
         "forbid_analyzed": ["ResolvedHint"],
         "note": "per-host counts join carries no broadcast hint "
                 "(AQE decides from runtime size)",
+    },
+    "seen_bloom_anti_join": {
+        "build": _audit_bloom_anti_join,
+        # the seen-set probe must be the codegen might_contain expression
+        # (r4): no Python/Arrow eval stage anywhere in the wave's hottest
+        # stream, and the exact backing join stays LeftAnti on the key
+        "expect": ["might_contain", "LeftAnti"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython"],
+        "forbid_analyzed": [],
+        "note": "bloom probe runs JVM-side inside codegen (might_contain "
+                "over the filter blob literal); definitely-new rows skip "
+                "the shuffle, maybe-seen rows take the exact anti-join",
     },
     "politeness_global_budget_large": {
         "build": _audit_global_budget_large,

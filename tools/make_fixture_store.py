@@ -7,6 +7,14 @@ The store is cut off mid-crawl (max_waves=2) so the resume path has real
 work left. Manifests carry absolute datafile paths (like Iceberg manifests
 carry absolute URIs); fixture_meta.json records the generation root so the
 test can relocate them.
+
+NB (ADVICE r3): the fixture emulates the ROUND-2 store format — no
+commits.jsonl marker log (visited append == commit point), physical
+visited rows, numpy bloom. Re-running this under the CURRENT engine would
+silently write the modern format and stop exercising the legacy fallback,
+so main() strips the artifacts the r2 format lacked and ASSERTS the
+result still looks legacy. Regenerate only from the frozen r2 revision if
+the legacy shape itself must change.
 """
 
 from __future__ import annotations
@@ -40,6 +48,18 @@ def main() -> None:
         bloom_bits_per_shard=1 << 16,
     ))
     metrics = eng.run(corpus, single_url="https://host0.example/p/0")
+    # strip modern-format artifacts the r2 store never had (docstring NB)
+    marker_log = os.path.join(FIXTURE, "commits.jsonl")
+    if os.path.exists(marker_log):
+        os.remove(marker_log)
+    assert not os.path.exists(marker_log)
+    from crawler_to_md_spark.tables import SnapshotTable  # noqa: E402
+
+    for m in SnapshotTable(os.path.join(FIXTURE, "visited")).snapshots():
+        assert "virtual" not in m, (
+            "current engine wrote virtual visited deltas — regenerate the "
+            "fixture from the frozen r2 revision instead"
+        )
     with open(os.path.join(FIXTURE, "fixture_meta.json"), "w") as f:
         json.dump(
             {
