@@ -62,8 +62,10 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.html import make_scrape_udf
 from ..functions.urls import defrag, host_of, url_hash, valid_link_expr
@@ -125,6 +127,13 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 20
     bloom_impl: str = "jvm"               # 'jvm' (codegen probe) | 'numpy'
+    # JVM-impl growth: start the filter this small and amortized-double it
+    # (rebuild from one narrow frontier scan) as keys accumulate — the
+    # serialized blob rides in EVERY stage's task binary and is
+    # hex-rendered for every plan-description event, so a corpus-sized
+    # filter from wave 1 taxes each early wave with multi-MB serialization
+    # for a frontier of a few hundred URLs. None = fixed shards x bits.
+    bloom_initial_bits: int | None = 1 << 16
     salt: int = 8
     salt_threshold: int = 100_000
     # robots handling for LIVE crawls (corpus=None): fetch /robots.txt per
@@ -209,6 +218,12 @@ class CrawlEngine:
                     if self.frontier.exists():
                         self.bloom.add_distributed(self.frontier.read(spark))
                     self.bloom.save(self._bloom_path)
+                elif (self.cfg.bloom_initial_bits is not None
+                      and hasattr(self.bloom, "growable")):
+                    # engine-owned filters grow; files from before growth
+                    # tracking load with n_added=capacity, so this flag
+                    # alone triggers a right-sizing rebuild next wave
+                    self.bloom.growable = True
             else:
                 self.bloom = self._new_bloom()
 
@@ -216,7 +231,23 @@ class CrawlEngine:
         return new_seen_set(
             self.spark, self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard,
             impl=self.cfg.bloom_impl,
+            initial_bits=self.cfg.bloom_initial_bits,
         )
+
+    def _grow_bloom(self) -> None:
+        """Amortized-doubling rebuild (seen.py class docstring): a fresh
+        filter pre-sized for the CURRENT frontier (4x headroom) re-adds
+        every frontier key in one narrow column-scan agg job. Runs OUTSIDE
+        the wave's commit barrier — a crash mid-rebuild leaves the
+        previous (full but overloaded) filter on disk: FP-heavier, never
+        false-negative."""
+        from ..operators.seen import JvmBloomSeenSet
+
+        fresh = JvmBloomSeenSet(self.spark, num_bits=1 << 13, growable=True)
+        fresh._resize(self.bloom.n_added)
+        fresh.add_distributed(self.frontier.read(self.spark))
+        self.bloom = fresh
+        self.bloom.save(self._bloom_path)
 
     # ------------------------------------------------------------------ seeds
 
@@ -232,8 +263,12 @@ class CrawlEngine:
                 rows.append((s, len(rows), True))
         if single_url is not None and single_url not in seen:
             rows.append((single_url, len(rows), False))
+        # pandas-sourced (Arrow) local frame: a list-of-tuples
+        # createDataFrame ships pickled rows whose scan launches a Python
+        # worker (~1s of fixed cost) on every action over the plan
         df = self.spark.createDataFrame(
-            rows, "url string, pos long, needs_validation boolean"
+            _pd.DataFrame(rows, columns=["url", "pos", "needs_validation"]),
+            "url string, pos long, needs_validation boolean",
         )
         valid = valid_link_expr(
             F.col("url"),
@@ -250,28 +285,37 @@ class CrawlEngine:
             F.lit(0).alias("wave_discovered"),
             F.col("pos").alias("discovery_rank"),
             F.lit(None).cast("long").alias("src_rank"),  # seeds: no source
-        ).persist()
-        stats = seeded.agg(
-            F.max("discovery_rank").alias("m"), F.count("*").alias("c")
-        ).collect()[0]
-        max_rank, n_seeds = stats["m"], int(stats["c"])
+        )
+        # seed stats (count, max rank) come from the append's parquet
+        # footers instead of a separate agg job — with the driver-side
+        # empty-visited write below, seeding costs TWO Spark jobs (write +
+        # bloom) instead of four; at ~0.3-0.5s of fixed cost per job this
+        # was a measurable slice of every run's non-scaling overhead
         manifest = self.frontier.append(
             seeded,
-            {"wave": 0, "kind": "seeds", "max_rank": int(max_rank or 0)},
+            {"wave": 0, "kind": "seeds"},
             target_partitions=1,
+            footer_stats={"max_rank": "discovery_rank"},
         )
+        manifest["summary"].setdefault("max_rank", 0)
+        n_seeds = int(manifest["summary"]["rows"])
         # wave-0 commit: an empty visited append keeps legacy readers
         # consistent; the marker line is the actual commit point
-        empty_visited = self.spark.createDataFrame(
-            [], "url_hash long, url string, wave_visited int, status string"
+        self.visited.append_local(
+            [],
+            T.StructType([
+                T.StructField("url_hash", T.LongType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("wave_visited", T.IntegerType()),
+                T.StructField("status", T.StringType()),
+            ]),
+            {"wave": 0},
         )
-        self.visited.append(empty_visited, {"wave": 0})
         self._mark_committed(0)
-        if self.bloom is not None:
-            self.bloom.add_distributed(seeded)
-            self.bloom.save(self._bloom_path)
-        seeded.unpersist()
         self._fast_next = self.frontier.read_delta(self.spark, manifest)
+        if self.bloom is not None:
+            self.bloom.add_distributed(self._fast_next)
+            self.bloom.save(self._bloom_path)
         self._fast_next_count = n_seeds
         self._fast_next_lo = 0
         self._fast_next_nfiles = len(manifest["delta_files"])
@@ -293,8 +337,9 @@ class CrawlEngine:
             rows.append((single_url, len(rows), False))
         if not rows:
             return 0
-        df = self.spark.createDataFrame(
-            rows, "url string, pos long, needs_validation boolean"
+        df = self.spark.createDataFrame(  # pandas-sourced: see seed()
+            _pd.DataFrame(rows, columns=["url", "pos", "needs_validation"]),
+            "url string, pos long, needs_validation boolean",
         )
         valid = valid_link_expr(
             F.col("url"), self.cfg.base_url,
@@ -737,7 +782,29 @@ class CrawlEngine:
             # frontier append) — not a re-read of the delta files. Must
             # complete before the next wave's probe: a missing wave in the
             # bloom would be a FALSE NEGATIVE (dropped dedup, not a re-check)
-            self.bloom.add_distributed(pinned)
+            grow = (getattr(self.bloom, "growable", False)
+                    and 2 * (self.bloom.n_added + n_new) > self.bloom.capacity)
+            if grow:
+                # predictive amortized-doubling rebuild (seen.py class
+                # docstring), folded into THIS commit's one job: the delta
+                # would trip the growth trigger, so instead of delta-add +
+                # post-barrier rebuild, build a fresh right-sized filter
+                # over (pre-append frontier snapshot) UNION (pinned delta)
+                # — same rows the post-commit frontier holds, readable NOW
+                # because table reads are snapshot-isolated from the
+                # concurrent frontier append
+                from ..operators.seen import JvmBloomSeenSet
+
+                fresh = JvmBloomSeenSet(self.spark, num_bits=1 << 13,
+                                        growable=True)
+                fresh._resize(self.bloom.n_added + n_new)
+                fresh.add_distributed(
+                    seen.select("url_hash")
+                    .unionByName(pinned.select("url_hash"))
+                )
+                self.bloom = fresh
+            else:
+                self.bloom.add_distributed(pinned)
             self.bloom.save(self._bloom_path)
             phases["bloom"] = round(time.time() - t, 3)
 
@@ -807,6 +874,10 @@ class CrawlEngine:
                 fut.result()  # re-raises: a failed commit leaves no marker
         self._mark_committed(wave)
         tick("commit_wall")
+        if (self.bloom is not None and discovered
+                and getattr(self.bloom, "needs_grow", lambda: False)()):
+            self._grow_bloom()
+            tick("bloom_grow")
         n_pages = int(results["pages"]["summary"]["rows"])
 
         if not cfg.seed_list_mode:
@@ -994,12 +1065,16 @@ class CrawlEngine:
                 rows.extend((h, p, float(now)) for p in prefixes)
             else:  # permissive marker row: TTL applies to empty rules too
                 rows.append((h, None, float(now)))
-        self.robots.append(
-            self.spark.createDataFrame(
-                rows, "host string, disallow_prefix string, fetched_at double"
-            ),
+        # driver-held rows (robots bodies were fetched ON the driver) ->
+        # driver-side parquet append: no Spark job per refresh
+        self.robots.append_local(
+            rows,
+            T.StructType([
+                T.StructField("host", T.StringType()),
+                T.StructField("disallow_prefix", T.StringType()),
+                T.StructField("fetched_at", T.DoubleType()),
+            ]),
             {"wave": wave, "kind": "robots"},
-            target_partitions=1,
         )
         return len(need)
 
@@ -1020,14 +1095,19 @@ class CrawlEngine:
         if not self._metrics_buf:
             return
         last_wave = max(r[0] for r in self._metrics_buf)
-        self.metrics.append(
-            self.spark.createDataFrame(
-                self._metrics_buf,
-                "wave int, selected long, pages long, new_links long, "
-                "seconds double",
-            ),
+        # driver-held metadata -> driver-side parquet write (append_local):
+        # the Spark write job this replaced cost ~1.3s of per-run fixed
+        # overhead for a handful of rows
+        self.metrics.append_local(
+            self._metrics_buf,
+            T.StructType([
+                T.StructField("wave", T.IntegerType()),
+                T.StructField("selected", T.LongType()),
+                T.StructField("pages", T.LongType()),
+                T.StructField("new_links", T.LongType()),
+                T.StructField("seconds", T.DoubleType()),
+            ]),
             {"wave": last_wave},
-            target_partitions=1,
         )
         self._metrics_buf = []
 

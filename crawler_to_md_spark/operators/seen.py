@@ -204,16 +204,34 @@ class JvmBloomSeenSet:
     ``capacity`` and ``num_bits`` are FIXED for the filter's lifetime and
     must be identical for every delta build — Spark derives the hash count
     from (capacity, num_bits) and refuses to merge incompatible sketches.
+
+    GROWTH (``growable=True``): a filter sized for the full corpus from
+    wave 1 is pure overhead while the frontier is small — the serialized
+    blob rides in every stage's task binary and its hex rendering is
+    rebuilt for every plan-description event, so a fixed multi-MB filter
+    taxes every tiny early wave with multi-MB serialization. A growable
+    filter starts at ``num_bits`` and is REBUILT at ~4x headroom whenever
+    the added-key count crosses half capacity (amortized-doubling, like a
+    growth array): the owner (CrawlEngine) watches ``needs_grow()`` and
+    re-adds the full frontier — one narrow column scan per doubling,
+    O(log n) rebuilds total, and every wave ships a filter sized for the
+    data it actually holds. An EMPTY growable filter auto-resizes to its
+    first delta inside ``add_distributed`` (covers recover/rebuild paths
+    without a pre-count).
     """
 
+    _BITS_PER_KEY = 16  # fp ~5e-4 at capacity; degrades gracefully beyond
+
     def __init__(self, spark: SparkSession, num_bits: int = 1 << 25,
-                 capacity: int | None = None):
+                 capacity: int | None = None, growable: bool = False):
         self.spark = spark
         self.num_bits = int(num_bits)
         # 16 bits/key at capacity -> fp ~5e-4; beyond capacity the fp rate
         # degrades gracefully and FPs only cost exact-join probes
         self.capacity = int(capacity if capacity is not None
-                            else max(1, num_bits // 16))
+                            else max(1, num_bits // self._BITS_PER_KEY))
+        self.growable = bool(growable)
+        self.n_added = 0  # exact added-row count (drives needs_grow)
         jvm = spark.sparkContext._jvm
         self._jbf = jvm.org.apache.spark.util.sketch.BloomFilter.create(
             self.capacity, self.num_bits
@@ -254,19 +272,43 @@ class JvmBloomSeenSet:
 
     # -- build / update ------------------------------------------------------
 
-    def add_distributed(self, df: DataFrame, hash_col: str = "url_hash",
-                        fold_partitions: int | None = None) -> None:
-        """OR a delta of hashes into the filter: one JVM agg job (partial
-        filter per task, merged), one ``num_bits/8``-byte blob to the
-        driver. ``fold_partitions`` coalesces the input first — each task's
-        partial buffer is a full-size filter, so fewer tasks = less partial
-        shuffle volume (the scan side stays cheap: a narrow long column)."""
+    def _resize(self, n_keys: int) -> None:
+        """Re-create the (empty) filter for ``n_keys`` current keys:
+        16 bits/key of storage (fp ~5e-3), with the growth TRIGGER
+        (capacity) at 4x — the next rebuild happens when the key count has
+        doubled, by which point the filter has degraded to 8 bits/key
+        (fp ~3% — bounded, and an FP only costs an exact-join probe).
+        Storage is deliberately lean: the serialized blob is embedded in
+        EVERY stage's task-binary broadcast, so 2x the bits taxes every
+        stage of every wave, while the FP delta only adds a few percent
+        of candidates to the (cheap, broadcast-built) exact anti-join.
+        Discards contents — only valid on an empty filter or before a
+        full re-add."""
+        n = max(1, int(n_keys))
+        self.num_bits = max(1 << 13, 16 * n)
+        self.capacity = 4 * n
+        jvm = self.spark.sparkContext._jvm
+        self._jbf = jvm.org.apache.spark.util.sketch.BloomFilter.create(
+            self.capacity, self.num_bits
+        )
+        self._blob = None
+        self.n_added = 0
+
+    def needs_grow(self) -> bool:
+        """True when the owner should rebuild this filter from the full
+        key set (added keys crossed half capacity)."""
+        return self.growable and 2 * self.n_added > self.capacity
+
+    def _agg_blob(self, src: DataFrame):
+        """One JVM agg job over pre-shaped ``h`` rows: (serialized delta
+        filter, exact row count). The count shares the job — no second
+        pass."""
         jvm = self.spark.sparkContext._jvm
         # BloomFilterAggregate SILENTLY CLAMPS its size arguments to the
         # runtime-filter conf ceilings (Math.min in Spark's
         # BloomFilterAggregate) — a clamped delta has a different bit size
         # and refuses to merge. Raise the ceilings to this filter's size.
-        conf = df.sparkSession.conf
+        conf = src.sparkSession.conf
         for key, val in (
             ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
              self.capacity),
@@ -279,36 +321,77 @@ class JvmBloomSeenSet:
                 cur = 0
             if cur < val:
                 conf.set(key, str(val))
-        src = df.select(F.col(hash_col).alias("h"))
-        k = fold_partitions or min(
-            8, self.spark.sparkContext.defaultParallelism
-        )
-        src = src.coalesce(k)
         agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate.\
             BloomFilterAggregate(
                 self._jexpr(F.col("h")),
                 self._jexpr(F.lit(self.capacity).cast("long")),
                 self._jexpr(F.lit(self.num_bits).cast("long")),
             )
-        blob = src.agg(
-            self._col(agg.toAggregateExpression()).alias("b")
-        ).collect()[0]["b"]
-        if blob is not None:  # None <=> empty delta
-            self._merge_blob(bytes(blob))
+        row = src.agg(
+            self._col(agg.toAggregateExpression()).alias("b"),
+            F.count(F.lit(1)).alias("c"),
+        ).collect()[0]
+        return row["b"], int(row["c"])
+
+    def add_distributed(self, df: DataFrame, hash_col: str = "url_hash",
+                        fold_partitions: int | None = None) -> None:
+        """OR a delta of hashes into the filter: one JVM agg job (partial
+        filter per task, merged), one ``num_bits/8``-byte blob to the
+        driver. ``fold_partitions`` coalesces the input first — each task's
+        partial buffer is a full-size filter, so fewer tasks = less partial
+        shuffle volume (the scan side stays cheap: a narrow long column).
+
+        On an EMPTY growable filter whose first delta overflows half the
+        capacity, the filter is resized for that delta and the (one) agg
+        job re-run at the right size — so recover/rebuild paths need no
+        pre-count."""
+        src = df.select(F.col(hash_col).alias("h"))
+        k = fold_partitions or min(
+            8, self.spark.sparkContext.defaultParallelism
+        )
+        src = src.coalesce(k)
+        blob, cnt = self._agg_blob(src)
+        if blob is None or cnt == 0:  # None <=> empty delta
+            return
+        if self.growable and self.n_added == 0 and 2 * cnt > self.capacity:
+            self._resize(cnt)
+            blob, cnt = self._agg_blob(src)
+        self._merge_blob(bytes(blob))
+        self.n_added += cnt
 
     # -- probe ---------------------------------------------------------------
 
+    # above this size the blob enters the plan as a SCALAR SUBQUERY over a
+    # one-row DataFrame instead of a literal: a multi-MB binary literal is
+    # hex-rendered into EVERY plan-description string (one per AQE stage
+    # event — at 8 MB that is a ~34M-char/68 MB string per event, enough
+    # GC churn to 10x a wave), while a subquery prints as a schema-only
+    # relation. Small blobs stay literals: the subquery costs one extra
+    # (trivial) job per materializing action.
+    _LITERAL_PROBE_MAX = 64 * 1024
+
     def probe(self, spark: SparkSession, col: Column) -> Column:
-        """Boolean maybe-seen Column: ``might_contain(<filter blob>, col)``.
-        Pure JVM codegen — the blob literal ships with the (broadcast)
-        task binary once per stage, replacing the pandas-UDF probe's
-        per-wave Python round-trip."""
+        """Boolean maybe-seen Column: ``might_contain(<filter>, col)``.
+        Pure JVM codegen — no Python worker on the probe path (the r3
+        pandas-UDF probe was the wave's last Arrow hop). The filter bytes
+        ride as a literal when small, as a scalar subquery when large
+        (class comment above) — Spark's own runtime-filter injection uses
+        the same subquery shape for the same reason."""
         jvm = self.spark.sparkContext._jvm
-        expr = jvm.org.apache.spark.sql.catalyst.expressions.\
-            BloomFilterMightContain(
-                self._jexpr(F.lit(bytearray(self.serialized()))),
-                self._jexpr(col),
+        blob = bytearray(self.serialized())
+        if len(blob) <= self._LITERAL_PROBE_MAX:
+            bf_side = self._jexpr(F.lit(blob))
+        else:
+            # pandas-sourced one-row frame: the Arrow conversion path scans
+            # JVM-side, while a list-of-tuples createDataFrame ships
+            # pickled rows that cost a Python-worker launch (~1s) on EVERY
+            # materializing action that executes the subquery
+            blob_pdf = pd.DataFrame({"b": [bytes(blob)]})
+            bf_side = self._jexpr(
+                spark.createDataFrame(blob_pdf, "b binary").scalar()
             )
+        expr = jvm.org.apache.spark.sql.catalyst.expressions.\
+            BloomFilterMightContain(bf_side, self._jexpr(col))
         return self._col(expr)
 
     # -- persistence (checkpoint integration) --------------------------------
@@ -317,7 +400,8 @@ class JvmBloomSeenSet:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         blob = self.serialized()
         meta = json.dumps(
-            {"num_bits": self.num_bits, "capacity": self.capacity}
+            {"num_bits": self.num_bits, "capacity": self.capacity,
+             "n_added": self.n_added, "growable": self.growable}
         ).encode()
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -336,18 +420,29 @@ class JvmBloomSeenSet:
             (mlen,) = struct.unpack("<q", f.read(8))
             meta = json.loads(f.read(mlen))
             blob = f.read()
-        obj = cls(spark, num_bits=meta["num_bits"], capacity=meta["capacity"])
+        obj = cls(spark, num_bits=meta["num_bits"], capacity=meta["capacity"],
+                  growable=bool(meta.get("growable", False)))
+        # files written before growth tracking carry no n_added: assume
+        # full (capacity) so a growable owner rebuilds to the right size
+        # on its next growth check instead of silently never growing
+        obj.n_added = int(meta.get("n_added", meta["capacity"]))
         obj._merge_blob(blob)
         return obj
 
 
 def new_seen_set(spark: SparkSession, num_shards: int = 16,
-                 bits_per_shard: int = 1 << 21, impl: str = "jvm"):
+                 bits_per_shard: int = 1 << 21, impl: str = "jvm",
+                 initial_bits: int | None = None):
     """Seen-set factory: JVM sketch filter by default (total bits =
     shards x bits/shard), numpy shard fallback when the catalyst internals
-    aren't reachable (or ``impl='numpy'``)."""
+    aren't reachable (or ``impl='numpy'``). ``initial_bits`` switches the
+    JVM filter to GROWABLE sizing: start that small, amortized-doubling
+    rebuilds as keys accumulate (class docstring)."""
     if impl == "jvm":
         try:
+            if initial_bits is not None:
+                return JvmBloomSeenSet(spark, num_bits=initial_bits,
+                                       growable=True)
             return JvmBloomSeenSet(spark, num_bits=num_shards * bits_per_shard)
         except Exception:  # py4j/internal-API unavailable -> numpy path
             pass

@@ -49,12 +49,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # the seen-set probe embeds a multi-MB bloom blob LITERAL in the
-        # plan (operators/seen.py JvmBloomSeenSet); plan stringification
-        # (SQL-listener plan descriptions, explain) renders literals as
-        # hex, so an unbounded plan string would cost 2x blob bytes of
-        # driver CPU per job submission. 2 MB keeps real plans intact for
-        # audits while bounding the blob's rendering cost.
+        # plan-description strings are rebuilt per SQL-listener/AQE event;
+        # binary literals render as hex, so an unbounded plan string costs
+        # 2x literal bytes of driver CPU per event. The seen-set probe
+        # keeps big bloom blobs OUT of the plan (scalar subquery past
+        # 64 KB — operators/seen.py), so real plans stay small; the cap is
+        # a backstop that keeps audits intact if a large literal sneaks in.
         .config("spark.sql.maxPlanStringLength", str(2 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -83,6 +83,49 @@ def _footer_rows(files: list[str]) -> int:
     return total
 
 
+def _empty_df(spark: SparkSession, schema) -> DataFrame:
+    """Zero-row DataFrame with ``schema`` built JVM-side: the
+    ``createDataFrame([], schema)`` shape plans a pickled-row scan whose
+    first action launches a Python worker (~1s of fixed cost) even for
+    zero rows."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _footer_max(files: list[str], column: str):
+    """Column max across parquet row-group statistics (driver-side, no
+    Spark job) — None when no file carries stats for the column (caller
+    falls back to an agg job). Exact for the int/long columns the engine
+    asks about."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for f in files:
+        if "://" in f:
+            from pyarrow import fs as pafs
+
+            filesystem, path = pafs.FileSystem.from_uri(f)
+            pf = pq.ParquetFile(path, filesystem=filesystem)
+        else:
+            pf = pq.ParquetFile(f)
+        md = pf.metadata
+        try:
+            idx = pf.schema_arrow.get_field_index(column)
+        except Exception:
+            return None
+        if idx < 0:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
 class SnapshotTable:
     def __init__(self, root: str, durable: bool = False):
         self.root = root
@@ -175,7 +218,12 @@ class SnapshotTable:
     def append(
         self, df: DataFrame, summary: dict | None = None,
         target_partitions: int | None = None,
+        footer_stats: dict[str, str] | None = None,
     ) -> dict:
+        """``footer_stats`` maps summary keys to column names whose MAX is
+        read from the written files' parquet statistics into the committed
+        summary (driver-side; None/absent stats leave the key out) — lets
+        callers fold a stats job into the write they already pay for."""
         files, schema_json = self._write_datafiles(df, target_partitions)
         cur = self.current_snapshot()
         all_files = (cur["files"] if cur else []) + files
@@ -183,8 +231,51 @@ class SnapshotTable:
         # row count from parquet FOOTERS (driver-side metadata read, no
         # Spark job) — lets the engine know wave sizes without count()s
         summary.setdefault("rows", _footer_rows(files))
+        for key, col in (footer_stats or {}).items():
+            v = _footer_max(files, col)
+            if v is not None:
+                summary.setdefault(key, v)
         return self._commit(all_files, summary, schema_json,
                             delta_files=files)
+
+    def append_local(self, rows: list[tuple], schema,
+                     summary: dict | None = None) -> dict:
+        """Append a SMALL driver-known row batch without any Spark job:
+        one parquet file written via pyarrow (milliseconds, vs ~1s of
+        fixed per-job cost for a Spark write of the same handful of rows).
+        For run-level metadata the driver already holds — wave metrics,
+        empty wave-0 markers — a cluster write is pure overhead at every
+        scale. ``schema`` is the pyspark StructType; parquet types are
+        chosen so Spark reads back exactly that schema. Not for data-plane
+        rows (no partitioning, single file, driver memory)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_types = {
+            "integer": pa.int32(), "long": pa.int64(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "binary": pa.binary(),
+        }
+        ddir = os.path.join(self.root, "data", f"snap-{uuid.uuid4().hex}")
+        os.makedirs(ddir, exist_ok=True)
+        path = os.path.join(ddir, "part-00000.parquet")
+        fields, arrays = [], []
+        for i, f_ in enumerate(schema.fields):
+            t = f_.dataType.typeName()
+            if t not in pa_types:
+                raise TypeError(f"append_local: unsupported type {t}")
+            fields.append(pa.field(f_.name, pa_types[t]))
+            arrays.append(pa.array([r[i] for r in rows], type=pa_types[t]))
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)), path
+        )
+        cur = self.current_snapshot()
+        all_files = (cur["files"] if cur else []) + [path]
+        summary = dict(summary or {})
+        summary.setdefault("rows", len(rows))
+        return self._commit(all_files, summary, schema.json(),
+                            delta_files=[path])
 
     def read_delta(self, spark: SparkSession, manifest: dict) -> DataFrame:
         """Read only the datafiles a specific append introduced — a
@@ -194,7 +285,7 @@ class SnapshotTable:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(manifest["schema"]))
-            return spark.createDataFrame([], schema)
+            return _empty_df(spark, schema)
         return spark.read.parquet(*files)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
@@ -253,13 +344,13 @@ class SnapshotTable:
         if not m["files"] and not virtual:
             if m.get("schema"):
                 schema = StructType.fromJson(json.loads(m["schema"]))
-                return spark.createDataFrame([], schema)
+                return _empty_df(spark, schema)
             raise ValueError(f"table {self.root} has no snapshots yet")
         schema = StructType.fromJson(json.loads(m["schema"]))
         if m["files"]:
             out = spark.read.parquet(*m["files"])
         else:
-            out = spark.createDataFrame([], schema)
+            out = _empty_df(spark, schema)
         for spec in virtual:
             out = out.unionByName(self._read_virtual(spark, spec, schema))
         return out

@@ -177,6 +177,85 @@ def test_new_seen_set_factory(spark):
     assert isinstance(new_seen_set(spark, impl="numpy"), BloomSeenSet)
 
 
+def test_jvm_bloom_growable_auto_resize_and_grow_signal(tmp_path, spark):
+    """Amortized-doubling contract: a growable filter starts tiny, an
+    empty-filter add auto-resizes to its delta (no false negatives after),
+    incremental adds trip needs_grow at half capacity, and growth state
+    survives save/load."""
+    bloom = new_seen_set(spark, initial_bits=1 << 13)  # capacity 512
+    assert bloom.growable and bloom.capacity == 512
+    seen = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    assert bloom.n_added == 5000
+    assert bloom.capacity >= 4 * 5000  # resized with headroom, not overloaded
+    assert not bloom.needs_grow()
+    hits = seen.withColumn(
+        "hit", bloom.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 5000  # auto-resize re-added the full delta
+    # non-empty filter: adds accumulate (no silent resize — that would
+    # drop contents) until the owner must rebuild
+    extra = spark.range(5000, 5000 + bloom.capacity).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    bloom.add_distributed(extra)
+    assert bloom.needs_grow()
+    p = str(tmp_path / "b" / "seen.npz")
+    bloom.save(p)
+    loaded = load_seen_set(p, spark)
+    assert loaded.growable and loaded.n_added == bloom.n_added
+    assert loaded.needs_grow()
+
+
+def test_jvm_bloom_large_blob_probes_via_subquery(spark):
+    """Blobs past _LITERAL_PROBE_MAX must enter the plan as a scalar
+    subquery, not a literal — a multi-MB binary literal is hex-rendered
+    into every plan-description string (one per AQE event), which at 8 MB
+    is enough GC churn to 10x a wave. The probe must stay exact and
+    JVM-side either way."""
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 21)  # 256 KB blob
+    assert len(bloom.serialized()) > JvmBloomSeenSet._LITERAL_PROBE_MAX
+    seen = spark.range(0, 100_000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen)
+    df = spark.range(0, 120_000).select(F.xxhash64("id").alias("url_hash"))
+    flagged = df.withColumn("m", bloom.probe(spark, F.col("url_hash")))
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    # the blob never appears in the plan string (no multi-MB hex render)
+    assert len(plan) < 100_000, len(plan)
+    hits = flagged.agg(
+        F.sum(F.col("m").cast("int")).alias("h")
+    ).collect()[0]["h"]
+    assert hits >= 100_000  # zero false negatives (FPs allowed)
+    # and the full anti-join stays exact through the subquery probe
+    caches: list = []
+    new = anti_join_new(df, seen, bloom=bloom, persist_registry=caches)
+    assert new.count() == 20_000
+    for c in caches:
+        c.unpersist()
+
+
+def test_crawl_engine_grows_bloom(tmp_path, spark):
+    """The engine rebuilds the seen-set at ~4x frontier size once added
+    keys cross half capacity — early waves ship KB filters, steady waves
+    right-sized ones (VERDICT r3 fixed-cost finding)."""
+    from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
+    from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(use_bloom=True, bloom_initial_bits=1 << 13,
+                      fetch_df_fn=synth_fetch_df_fn(3000, 8, 8))
+    eng = CrawlEngine(spark, str(tmp_path / "store"), cfg)
+    assert eng.bloom.capacity == 512
+    eng.run(None, single_url="https://host0.example/p/0")
+    assert eng.bloom.n_added > 512  # frontier outgrew the initial filter
+    assert not eng.bloom.needs_grow()  # ... so the engine rebuilt it
+    assert eng.bloom.capacity >= 2 * eng.bloom.n_added
+    # persisted state matches the grown filter (resume keeps the size)
+    loaded = load_seen_set(eng._bloom_path, spark)
+    assert loaded.capacity == eng.bloom.capacity
+    assert loaded.n_added == eng.bloom.n_added
+
+
 def test_anti_join_persist_registry_no_leak(spark):
     """anti_join_new's cache contract: with a persist_registry, callers
     can restore the session to its pre-call cache footprint."""

@@ -124,6 +124,31 @@ def _audit_bloom_anti_join(spark):
     return df
 
 
+def _audit_bloom_anti_join_large(spark):
+    # past _LITERAL_PROBE_MAX the blob becomes a scalar subquery: the plan
+    # must stay hex-free (a multi-MB literal is re-rendered per AQE plan
+    # event) while the probe remains the codegen might_contain expression
+    from crawler_to_md_spark.operators.seen import (
+        JvmBloomSeenSet,
+        anti_join_new,
+    )
+    from pyspark.sql import functions as F
+
+    seen = spark.range(100_000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("https://h.x/p/"), F.col("id")).alias("url"),
+    )
+    cands = spark.range(120_000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("https://h.x/p/"), F.col("id")).alias("url"),
+    )
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 21)  # 256 KB blob
+    bloom.add_distributed(seen)
+    caches: list = []
+    df = anti_join_new(cands, seen, bloom=bloom, persist_registry=caches)
+    return df
+
+
 # operator-level audits (not QUERIES entries): builder -> plan assertions.
 # `expect_analyzed` / `forbid_analyzed` run against explain('extended')
 # (hints are visible only pre-optimization).
@@ -148,8 +173,23 @@ AUDITED_OPS = {
         "forbid": ["ArrowEvalPython", "BatchEvalPython"],
         "forbid_analyzed": [],
         "note": "bloom probe runs JVM-side inside codegen (might_contain "
-                "over the filter blob literal); definitely-new rows skip "
-                "the shuffle, maybe-seen rows take the exact anti-join",
+                "over the filter blob — literal at this size); "
+                "definitely-new rows skip the shuffle, maybe-seen rows "
+                "take the exact anti-join",
+    },
+    "seen_bloom_anti_join_large_blob": {
+        "build": _audit_bloom_anti_join_large,
+        "expect": ["might_contain", "LeftAnti"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython"],
+        "forbid_analyzed": [],
+        # the size bound IS the assertion: a literal blob would hex-render
+        # to >500k chars in this plan string
+        "max_plan_chars": 100_000,
+        "note": "past _LITERAL_PROBE_MAX the blob rides as a scalar "
+                "subquery over a one-row relation: plan strings stay "
+                "hex-free (a multi-MB literal re-renders per AQE plan "
+                "event — GC churn that 10x'd the steady wave), probe "
+                "stays codegen might_contain",
     },
     "politeness_global_budget_large": {
         "build": _audit_global_budget_large,
@@ -206,6 +246,10 @@ def main() -> None:
         present = [f for f in spec["forbid"] if f in plan]
         present += [f"{f} (analyzed)" for f in spec["forbid_analyzed"]
                     if f in analyzed]
+        if "max_plan_chars" in spec and len(plan) > spec["max_plan_chars"]:
+            present.append(
+                f"plan_chars={len(plan)}>{spec['max_plan_chars']}"
+            )
         ok = not (missing or present)
         if not ok:
             failures.append((name, missing, present))
