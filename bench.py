@@ -75,9 +75,17 @@ CLEAN_BW_RATIO_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_BW_MAX", "5.0
 # final clean gate: both of a round's level runs must be within this
 # factor of the session-minimum crawl time for their level
 NEAR_MIN_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_NEAR_MIN", "1.2"))
+# absolute calibration floor: each level's burn must reach this fraction
+# of the best calibration ever observed for that level (see
+# _finalize_clean — catches multi-hour LOW-LEVEL starvation that every
+# ratio check is blind to)
+HW_FLOOR_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_HW_FLOOR", "0.85"))
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
 
-_BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+_BENCH_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+)
 
 
 def _proc_cpu() -> tuple[int, int]:
@@ -474,22 +482,41 @@ def _gate_pool(round_effs: list, key: str) -> list:
     return clean or round_effs
 
 
-def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list) -> None:
+def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list,
+                    hist: dict | None = None) -> None:
     """Second clean gate, applied once all rounds exist: a clean round's
     BOTH level runs must sit within NEAR_MIN_FRAC of the session-minimum
     crawl time for their level. Contention only ever INFLATES a run, so
     per-level minima anchor the uncontended machine; a round whose
     telemetry looked clean but whose runs are far off the minima caught a
-    mid-run storm the probes missed."""
+    mid-run storm the probes missed.
+
+    Third gate — ABSOLUTE per-level calibration floors: every ratio
+    check compares the two levels to each other, so a session whose LOW
+    level is starved for hours (observed: lo burn at 9.4-11.9 Miters/s
+    vs the machine's 14-15, hi nominal) passes hw_ratio/bw_ratio while
+    the starvation corrupts the N->4N ratio in either direction. Each
+    level's burn must also reach HW_FLOOR_FRAC of the best calibration
+    ever observed for that level (folded across sessions via
+    BENCH/minima.json when ``hist`` is given, else this session's best)."""
     lo_min = min(r["crawl_seconds"] for r in lo_runs)
     hi_min = min(r["crawl_seconds"] for r in hi_runs)
     lo_dmin = min(r["dedup_seconds"] for r in lo_runs)
     hi_dmin = min(r["dedup_seconds"] for r in hi_runs)
+    lo_ref = max(r["hw_miters_per_sec"] for r in lo_runs)
+    hi_ref = max(r["hw_miters_per_sec"] for r in hi_runs)
+    if hist:
+        lo_ref = max(lo_ref, hist["low"].get("hw_miters_per_sec", 0.0))
+        hi_ref = max(hi_ref, hist["high"].get("hw_miters_per_sec", 0.0))
     for eff, li, hj in zip(round_effs, lo_runs, hi_runs):
         near = (li["crawl_seconds"] <= NEAR_MIN_FRAC * lo_min
                 and hj["crawl_seconds"] <= NEAR_MIN_FRAC * hi_min)
+        absok = (li["hw_miters_per_sec"] >= HW_FLOOR_FRAC * lo_ref
+                 and hj["hw_miters_per_sec"] >= HW_FLOOR_FRAC * hi_ref)
         eff["near_session_min"] = near
-        eff["clean"] = eff["clean"] and near
+        eff["hw_abs_ok"] = absok
+        eff["clean"] = eff["clean"] and near and absok
+        eff["dedup_clean"] = eff["dedup_clean"] and absok
         eff["dedup_clean"] = (
             eff["dedup_clean"]
             and li["dedup_seconds"] <= NEAR_MIN_FRAC * lo_dmin
@@ -644,10 +671,21 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "3300"))
     retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "150"))
     lo_runs, hi_runs, round_effs = [], [], []
+    hist = _load_historical_minima()
+
+    def _have_final_clean() -> bool:
+        # the retry decision must apply the SAME gates as the final
+        # statistic (near-session-min + absolute calibration floors), or
+        # the loop stops on a round that finalize later demotes
+        if not round_effs:
+            return False
+        effs = [dict(e) for e in round_effs]
+        _finalize_clean(effs, lo_runs, hi_runs, hist=hist)
+        return any(e["clean"] for e in effs)
+
     while True:
         n = len(round_effs)
-        have_clean = any(r["clean"] for r in round_effs)
-        if n >= rounds and (have_clean or n >= max_rounds):
+        if n >= rounds and (_have_final_clean() or n >= max_rounds):
             break
         if n >= rounds:  # extra storm-dodging round
             remaining = budget_s - (time.time() - t0)
@@ -659,7 +697,7 @@ def main() -> None:
         round_effs.append(_round_effs(lo_runs[-1], hi_runs[-1]))
     lo, hi = _merge_runs(lo_runs), _merge_runs(hi_runs)
 
-    _finalize_clean(round_effs, lo_runs, hi_runs)
+    _finalize_clean(round_effs, lo_runs, hi_runs, hist=hist)
     clean = [r for r in round_effs if r["clean"]]
     gate_pool = _gate_pool(round_effs, "clean")
     best = max(round_effs, key=lambda r: r["steady_efficiency"])

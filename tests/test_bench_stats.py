@@ -125,6 +125,29 @@ def test_finalize_clean_near_session_min_and_bw_cap():
     assert bench._round_effs(lo_c, hi_c)["clean"] is False
 
 
+def test_finalize_clean_absolute_hw_floor():
+    """r4: a session whose LOW level is starved for hours passes every
+    RATIO check (hw_ratio/bw_ratio compare the levels to each other) —
+    the absolute per-level floor against the best calibration ever
+    observed must demote those rounds, using history when given."""
+    # lo starved (9.5 vs the machine's historical 15), hi nominal:
+    # hw_ratio 56/9.5 = 5.9 >= 3.5 so the ratio check alone passes
+    lo = _run(2, 80.0, 30.0, 28.0, hw=9.5, steal=0.5, bw=50.0)
+    hi = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5, bw=200.0)
+    effs = [bench._round_effs(lo, hi)]
+    assert effs[0]["clean"]  # telemetry ratios alone: clean
+    hist = {"low": {"hw_miters_per_sec": 15.0},
+            "high": {"hw_miters_per_sec": 56.0}}
+    bench._finalize_clean(effs, [lo], [hi], hist=hist)
+    assert effs[0]["hw_abs_ok"] is False
+    assert effs[0]["clean"] is False and effs[0]["dedup_clean"] is False
+    # without history the session's own best anchors the floor: a single
+    # self-consistent round stays clean
+    effs2 = [bench._round_effs(lo, hi)]
+    bench._finalize_clean(effs2, [lo], [hi], hist=None)
+    assert effs2[0]["hw_abs_ok"] is True and effs2[0]["clean"] is True
+
+
 def test_gate_pool_selects_clean_rounds_only():
     """VERDICT r3 #6: when ANY clean round exists, the headline median
     must pool over clean rounds ONLY; the all-rounds fallback is reserved
