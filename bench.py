@@ -218,8 +218,12 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # cores — AQE coalesces them back down for small waves. Sizing them to
     # the core count made 8-core runs build 6M-row hash maps per task at
     # 1M-page scale and collapse under GC.
-    spark = get_spark(f"crawl-bench-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=32)
+    spark = get_spark(
+        f"crawl-bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32")
+        ),
+    )
 
     # fetch stage: the column-level synthetic fetcher — response computed
     # per selected URL (O(wave), the cost shape of real HTTP) instead of
@@ -568,7 +572,14 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "far ABOVE 4x means the N-level probe itself was starved). A",
         "clean round must ALSO have both its level runs within",
         f"{NEAR_MIN_FRAC}x of the session-minimum crawl time for their",
-        "level — runs are the most sensitive storm detector available.",
+        "level — runs are the most sensitive storm detector available —",
+        "AND each level's burn must reach "
+        f"{int(HW_FLOOR_FRAC * 100)}% of the best calibration ever",
+        "observed for that level (BENCH/minima.json): every ratio check",
+        "compares the levels to each other, so multi-hour LOW-level",
+        "starvation (observed: lo at 9-12 Miters/s vs the machine's 15,",
+        "hi nominal) passes them all while corrupting the N->4N ratio",
+        "in either direction.",
         "The min-ratio columns are the ratio of the two levels' best",
         "observed throughputs — across this session's rounds, and across",
         "ALL bench sessions on this machine (BENCH/minima.json, keyed by",
