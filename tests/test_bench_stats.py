@@ -125,6 +125,24 @@ def test_finalize_clean_near_session_min_and_bw_cap():
     assert bench._round_effs(lo_c, hi_c)["clean"] is False
 
 
+def test_round_effs_mem_ratio_band():
+    """r4: the random-gather burn is the contention channel that stalls
+    agg-bound stages while steal/ALU/stream telemetry stays green —
+    a collapsed (storm) or inflated (lo-starved) N->4N random-access
+    grant disqualifies the round; runs predating the burn stay valid."""
+    lo = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5)
+    hi = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5)
+    lo["mem_mprobes_per_sec"], hi["mem_mprobes_per_sec"] = 180.0, 442.0
+    assert bench._round_effs(lo, hi)["clean"] is True
+    hi["mem_mprobes_per_sec"] = 220.0  # storm: grant collapses to 1.2x
+    e = bench._round_effs(lo, hi)
+    assert e["clean"] is False and e["dedup_clean"] is False
+    hi["mem_mprobes_per_sec"] = 640.0  # lo-starved: ratio inflated 3.6x
+    assert bench._round_effs(lo, hi)["clean"] is False
+    del lo["mem_mprobes_per_sec"], hi["mem_mprobes_per_sec"]
+    assert bench._round_effs(lo, hi)["clean"] is True  # legacy runs
+
+
 def test_finalize_clean_absolute_hw_floor():
     """r4: a session whose LOW level is starved for hours passes every
     RATIO check (hw_ratio/bw_ratio compare the levels to each other) —
