@@ -552,12 +552,17 @@ class CrawlEngine:
             # would equal the delta's FILE count (sized for storage, e.g.
             # 1 file for a small wave = one task for the whole wave).
             # One cheap shuffle of bare URL rows restores full parallelism
-            # — SKIPPED when the delta's file count already matches the
+            # — SKIPPED when the delta's file count is CLOSE to the
             # cluster parallelism (the steady-wave case: _npart caps at
-            # defaultParallelism), saving a shuffle + an AQE stage of
-            # fixed driver cost per wave.
-            if (fast_nfiles is None
-                    or fast_nfiles < self.spark.sparkContext.defaultParallelism):
+            # defaultParallelism but a rank bucket can come up empty, so
+            # counts like 7-of-8 are common): running the map stage one
+            # file short idles one core for a fraction of one stage
+            # (~1/P), while the repartition costs a full shuffle + an AQE
+            # boundary — measured ~1s of extra wall per steady wave at 8
+            # cores. Repartition only when the parallelism loss exceeds
+            # 2x (file count under half the cores).
+            par = self.spark.sparkContext.defaultParallelism
+            if fast_nfiles is None or fast_nfiles < max(1, par // 2):
                 pending = pending.repartition(
                     self.spark.sparkContext.defaultParallelism
                 )
