@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "parity is permissive)")
     p.add_argument("--robots-ttl", type=float, default=3600.0,
                    help="Seconds before a cached robots.txt is re-fetched")
+    p.add_argument("--durable-commits", action="store_true",
+                   help="fsync datafiles/manifests/marker on every wave "
+                        "commit: survives power loss, not just process "
+                        "kills (slower; see tables.py)")
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -153,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         min_interval_s=args.delay,
         respect_robots=args.respect_robots,
         robots_ttl_s=args.robots_ttl,
+        durable_commits=args.durable_commits,
     )
     engine = CrawlEngine(spark, store, cfg)
 

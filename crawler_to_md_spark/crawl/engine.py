@@ -93,6 +93,21 @@ def _npart(n_rows: int, rows_per_file: int = 50_000, cap: int = 32) -> int:
     return max(1, min(cap, (n_rows + rows_per_file - 1) // rows_per_file))
 
 
+def needs_repartition_for_map(n_files: int | None, parallelism: int) -> bool:
+    """Whether a per-row fetch wave must shuffle the pending URL rows
+    before its map stage. With no shuffle between the frontier-delta read
+    and the scrape/link map work, map parallelism equals the delta's FILE
+    count; a 1-file delta would run the whole wave in one task. But the
+    repartition costs a full shuffle + an AQE boundary (~1 s of wall per
+    steady wave at 8 cores), while running the map stage a file short of
+    the core count only idles those cores for a fraction of ONE stage —
+    and near-miss counts are the COMMON case, because _npart caps at
+    defaultParallelism yet a rank bucket can hash empty (7-of-8 files).
+    So shuffle only when the parallelism loss exceeds 2x: unknown file
+    count, or fewer files than half the cores."""
+    return n_files is None or n_files < max(1, parallelism // 2)
+
+
 @dataclass
 class CrawlConfig:
     base_url: str | None = None
@@ -547,25 +562,12 @@ class CrawlEngine:
         # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
         # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
         if corpus is None:
-            # per-row fetch paths have NO shuffle between the frontier
-            # delta read and the scrape/link map work, so map parallelism
-            # would equal the delta's FILE count (sized for storage, e.g.
-            # 1 file for a small wave = one task for the whole wave).
-            # One cheap shuffle of bare URL rows restores full parallelism
-            # — SKIPPED when the delta's file count is CLOSE to the
-            # cluster parallelism (the steady-wave case: _npart caps at
-            # defaultParallelism but a rank bucket can come up empty, so
-            # counts like 7-of-8 are common): running the map stage one
-            # file short idles one core for a fraction of one stage
-            # (~1/P), while the repartition costs a full shuffle + an AQE
-            # boundary — measured ~1s of extra wall per steady wave at 8
-            # cores. Repartition only when the parallelism loss exceeds
-            # 2x (file count under half the cores).
+            # restore map parallelism for per-row fetch paths when the
+            # frontier delta has too few files — see
+            # needs_repartition_for_map for the full cost trade-off
             par = self.spark.sparkContext.defaultParallelism
-            if fast_nfiles is None or fast_nfiles < max(1, par // 2):
-                pending = pending.repartition(
-                    self.spark.sparkContext.defaultParallelism
-                )
+            if needs_repartition_for_map(fast_nfiles, par):
+                pending = pending.repartition(par)
         if corpus is not None:
             corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
             fetched = pending.join(

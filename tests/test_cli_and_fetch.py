@@ -190,3 +190,26 @@ def test_cli_unreachable_proxy_aborts(tmp_path):
         "--proxy", "http://127.0.0.1:1/nope",
     ])
     assert rc == 2
+
+
+def test_cli_durable_commits_flag(spark, tmp_path):
+    """--durable-commits threads through to fsync'd table commits (ADVICE
+    r3: default commits are process-crash-safe only; the flag upgrades
+    the guarantee to power loss). Behavioral parity: same crawl output."""
+    corpus_path = str(tmp_path / "corpus")
+    synth_corpus(spark, n_pages=20, n_hosts=2, branching=3, seed=7) \
+        .write.parquet(corpus_path)
+    cache = str(tmp_path / "cache")
+    rc = cli_main([
+        "--url", "https://host0.example/p/0",
+        "--corpus", corpus_path,
+        "--output-folder", str(tmp_path / "out"),
+        "--cache-folder", cache,
+        "--base-url", "https://",
+        "--durable-commits",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    # the store's tables were constructed durable (marker log + data exist)
+    store_dir = [d for d in os.listdir(cache)][0]
+    assert os.path.exists(os.path.join(cache, store_dir, "commits.jsonl"))

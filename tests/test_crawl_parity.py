@@ -208,3 +208,23 @@ def test_per_source_new_links_parity(spark, tmp_path):
     got = {rank_to_url[r["src_rank"]]: r["n_new_links"]
            for r in eng.per_source_new_links().collect()}
     assert got == sim.new_per_source
+
+
+def test_needs_repartition_for_map_threshold():
+    """The pending-rows shuffle before a per-row-fetch map stage only pays
+    for itself when the frontier delta's file count would halve the map
+    parallelism; a near-miss (7 files, 8 cores — the common steady-wave
+    shape, since a rank bucket can hash empty) must NOT trigger a full
+    shuffle + AQE boundary (~1 s/wave measured at 8 cores)."""
+    from crawler_to_md_spark.crawl.engine import needs_repartition_for_map
+
+    assert needs_repartition_for_map(None, 8)      # unknown -> shuffle
+    assert needs_repartition_for_map(1, 8)         # 1 task for the wave
+    assert needs_repartition_for_map(3, 8)         # < half the cores
+    assert not needs_repartition_for_map(4, 8)     # half is enough
+    assert not needs_repartition_for_map(7, 8)     # near-miss: skip
+    assert not needs_repartition_for_map(8, 8)
+    assert not needs_repartition_for_map(12, 8)    # more files than cores
+    # tiny clusters: par//2 == 1 floor means >=1 file always skips
+    assert not needs_repartition_for_map(1, 2)
+    assert needs_repartition_for_map(None, 2)
