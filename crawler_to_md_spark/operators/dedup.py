@@ -1,6 +1,6 @@
 """Document deduplication at training-pipeline scale.
 
-Five strategies, each a distributed DataFrame plan (no driver loops):
+Six strategies, each a distributed DataFrame plan (no driver loops):
 
 - exact:       hash-groupBy on normalized text (first-write-wins like the
                reference's INSERT OR IGNORE, database_manager.py:48-51).
@@ -9,6 +9,9 @@ Five strategies, each a distributed DataFrame plan (no driver loops):
                array_union, JVM-side). Classic Broder MinHash + LSH.
 - simhash:     64-bit weighted-bit-vote fingerprint; near-dups via banded
                equality blocking + hamming<=r verify (bit_count(xor)).
+- phash:       image near-dup over the input_hint table's stored
+               perceptual hash (phash:int64) — same banded hamming
+               engine, zero decode in the plan.
 - ngram_jaccard: exact pairwise n-gram Jaccard within cheap blocking keys
                (the small-scale oracle for the sketch methods).
 - embedding:   cosine near-dup over array<float> embeddings via random-
@@ -202,6 +205,98 @@ def exact_jaccard_pairs(
     )
 
 
+def _band_slices(bands: int) -> list[tuple[int, int]]:
+    """(shift, width) bit-slices tiling ALL 64 bits with near-equal
+    widths (64 % bands spreads one extra bit over the first slices).
+    Recall (pigeonhole) holds even with uncovered bits — a differing
+    uncovered bit just doesn't consume a band — but full coverage keeps
+    band keys maximally selective (bits outside every key turn whole
+    near-miss families into candidates in ALL bands) and avoids the
+    shift-by->=64 hazard (JVM shifts are mod 64) for band counts that
+    don't divide 64."""
+    base, extra = divmod(64, bands)
+    slices, shift = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        slices.append((shift, w))
+        shift += w
+    return slices
+
+
+def hamming_neardup_pairs(
+    fp: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """All pairs with hamming(hash) <= max_hamming over an int64 hash
+    column — the shared blocking engine behind simhash and phash near-dup.
+
+    Blocking: any pair within distance r must agree on at least one of
+    (r+1) disjoint bit-bands (pigeonhole), so ``bands >= max_hamming+1``
+    guarantees full recall while the self-join only meets rows sharing a
+    band key (never quadratic). Verification is ``bit_count(xor)`` —
+    pure JVM codegen, no UDF. Returns (id_a, id_b, hamming), id_a<id_b.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    fp = fp.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    ).persist()
+    banded = fp.select(
+        "id", "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("h"), s)
+                .bitwiseAND(F.lit(-1 if w >= 64 else (1 << w) - 1))
+                for s, w in _band_slices(bands)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col("id").alias("id_a"),
+                      F.col("h").alias("h_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"),
+                      F.col("h").alias("h_b"))
+    # fp stays MARKED persisted (lazy plan, two scans) — see
+    # minhash_lsh_pairs for why an eager unpersist would recompute
+    # upstream UDFs
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """Image near-dup by perceptual-hash hamming distance over the
+    input_hint table's stored ``phash:int64`` column (the canonical
+    image-corpus dedup: re-encoded / resized copies keep a near-identical
+    phash). No decode in the plan — the hash was computed at ingest, so
+    this is a pure JVM banded self-join that scales like simhash."""
+    return hamming_neardup_pairs(
+        images.select(id_col, phash_col), id_col, phash_col,
+        max_hamming, bands,
+    )
+
+
+def md5_token_hash(t):
+    """60-bit integer from the md5 hex prefix: reproducible in any SQL
+    engine (DuckDB: ``CAST('0x'||substring(md5(t),1,15) AS BIGINT)``) —
+    the oracle-checkable stand-in for xxhash64 in simhash fingerprints."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def _simhash_udf(seed: int):
     @F.pandas_udf(T.LongType())
     def sh(token_hashes: pd.Series) -> pd.Series:
@@ -223,10 +318,14 @@ def _simhash_udf(seed: int):
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 11
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    seed: int = 11, token_hash=None,
 ) -> DataFrame:
+    """``token_hash``: Column->Column int64 token hasher. Default is
+    xxhash64 (the scale path); pass ``md5_token_hash`` to get
+    fingerprints a SQL oracle can reproduce bit-for-bit."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
     return df.select(
         F.col(id_col).alias("id"),
         _simhash_udf(seed)(hashes).alias("simhash"),
@@ -240,35 +339,11 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming. Blocking: any pair
-    within distance r must share at least one of (r+1) bit-bands
-    (pigeonhole), so bands >= max_hamming+1 guarantees recall."""
-    assert bands >= max_hamming + 1
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
-    width = 64 // bands
-    banded = fp.select(
-        "id", "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                for b in range(bands)
-            ])
-        ).alias("band", "key"),
-    )
-    a = banded.select("band", "key", F.col("id").alias("id_a"),
-                      F.col("simhash").alias("h_a"))
-    b = banded.select("band", "key", F.col("id").alias("id_b"),
-                      F.col("simhash").alias("h_b"))
-    # fp stays MARKED persisted (lazy plan, two scans) — see
-    # minhash_lsh_pairs for why an eager unpersist would recompute the UDF
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    """Pairs with hamming(simhash) <= max_hamming — fingerprints fed
+    through the generic ``hamming_neardup_pairs`` banded blocking."""
+    return hamming_neardup_pairs(
+        simhash_fingerprints(df, text_col, id_col),
+        "id", "simhash", max_hamming, bands,
     )
 
 

@@ -39,7 +39,10 @@ from .crawl.engine import CrawlConfig, CrawlEngine
 from .operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
+    hamming_neardup_pairs,
+    md5_token_hash,
     minhash_lsh_pairs,
+    phash_neardup_pairs,
     simhash_fingerprints,
 )
 from .operators.textstats import (
@@ -924,6 +927,82 @@ def simhash_docs(spark, sf_dir):
     return simhash_fingerprints(docs)
 
 
+def simhash_md5_docs(spark, sf_dir):
+    """Simhash fingerprints with the md5-derived 60-bit token hash — the
+    oracle-checkable twin of ``simhash_docs``: xxhash64 has no DuckDB
+    analog but md5 does, so THIS variant drives the exact same pandas-UDF
+    bit-vote construction (operators/dedup.py::_simhash_udf) through the
+    driver's value gate."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
+    return fp.select(F.col("id").alias("doc_id"), "simhash")
+
+
+# fingerprint CTE shared by the simhash-md5 oracle and the hamming-pairs
+# oracle: per-token 60-bit md5 hash -> per-bit majority vote -> packed
+# int64 (bits 60..63 always 0, matching the Spark UDF whose vote over an
+# always-0 bit is negative)
+_SIMHASH_MD5_FP_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, b.range AS b, sum((h >> b.range) & 1) AS ones,
+         count(*) AS n
+  FROM th, range(60) b GROUP BY doc_id, b.range
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+SIMHASH_MD5_SQL = _SIMHASH_MD5_FP_CTE + "SELECT doc_id, simhash FROM fp"
+
+
+def hamming_pairs_docs(spark, sf_dir):
+    """Near-dup pairs by simhash hamming distance <= 8 over documents,
+    via the generic banded pigeonhole blocking
+    (operators/dedup.py::hamming_neardup_pairs). The md5 token hash makes
+    the whole pipeline — fingerprint AND banding join — reproducible in
+    the DuckDB oracle (which verifies with a brute-force quadratic join;
+    pigeonhole guarantees the banded plan finds the same pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
+    return hamming_neardup_pairs(fp, "id", "simhash",
+                                 max_hamming=8, bands=9)
+
+
+HAMMING_SQL = _SIMHASH_MD5_FP_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+def phash_pairs_images(spark, sf_dir):
+    """Image near-dup by perceptual-hash hamming over the input_hint
+    table (phash:int64 computed from decoded pixels at ingest): the
+    canonical image-corpus dedup. Rows-only (phash derives from binary
+    decode — no SQL analog); correctness pinned by
+    tests/test_dedup.py::test_phash_pairs_* (banded == brute force,
+    planted re-encoded copies found)."""
+    from .crawl.corpus import synth_images_table
+
+    images = synth_images_table(spark, n_images=120, seed=42)
+    # plant duplicates: every 10th image re-registered under a new id
+    # (same bytes -> identical phash), the re-encoded-copy scenario
+    planted = images.filter(
+        (F.substring("image_id", 5, 6).cast("int") % 10) == 0
+    ).withColumn("image_id", F.concat(F.lit("dup-"), F.col("image_id")))
+    return phash_neardup_pairs(images.unionByName(planted), max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -960,6 +1039,9 @@ QUERIES = {
     "image_feature_extract": image_feature_extract,
     "minhash_pairs_docs": minhash_pairs_docs,
     "simhash_docs": simhash_docs,
+    "simhash_md5_docs": simhash_md5_docs,
+    "hamming_pairs_docs": hamming_pairs_docs,
+    "phash_pairs_images": phash_pairs_images,
 }
 
 ORACLES = {
@@ -990,7 +1072,12 @@ ORACLES = {
     "embedding_pairs": EMB_PAIRS_SQL,
     "crawl_pages": CRAWL_PAGES_SQL,
     "crawl_links": CRAWL_LINKS_SQL,
-    # minhash_pairs_docs / simhash_docs / image_*: genuinely
-    # non-SQL-expressible (sketch UDFs, binary decode) -> rows-only
-    # check; correctness covered by pytest oracles instead.
+    "simhash_md5_docs": SIMHASH_MD5_SQL,
+    "hamming_pairs_docs": HAMMING_SQL,
+    # minhash_pairs_docs / simhash_docs / image_* / phash_pairs_images:
+    # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
+    # decode) -> rows-only check; correctness covered by pytest oracles
+    # instead. simhash_md5_docs / hamming_pairs_docs drive the SAME
+    # simhash construction + banding join through a full DuckDB value
+    # check by swapping the token hash to md5.
 }

@@ -137,3 +137,101 @@ def test_simhash_hamming_tracks_token_edit_count(spark):
     )
     fp2 = [r["simhash"] for r in simhash_fingerprints(df2).collect()]
     assert fp2[0] == fp2[1]
+
+
+def test_band_slices_cover_all_64_bits():
+    """The variable-width band slices must tile [0, 64) exactly for any
+    band count: gaps coarsen every band key (false candidates in ALL
+    bands for pairs differing only in uncovered bits), overlaps would
+    double-count bits, and a shift reaching 64 would silently wrap (JVM
+    shifts are mod 64) and alias band 0."""
+    from crawler_to_md_spark.operators.dedup import _band_slices
+
+    for bands in range(1, 18):
+        slices = _band_slices(bands)
+        assert len(slices) == bands
+        covered = []
+        for shift, width in slices:
+            assert width >= 1
+            covered.extend(range(shift, shift + width))
+        assert covered == list(range(64)), bands
+
+
+def test_hamming_banding_matches_bruteforce(spark):
+    """The generic banded hamming join (pigeonhole blocking) must return
+    EXACTLY the brute-force pair set — planted near-hashes (<= r bit
+    flips, including flips in the top bits that a uniform 64//bands band
+    width would leave uncovered) plus random controls."""
+    import random
+
+    from crawler_to_md_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(77)
+    rows = []
+    rid = 0
+    bases = [rng.getrandbits(64) for _ in range(30)]
+    for base in bases:
+        rows.append((rid, base - (1 << 64) if base >= 1 << 63 else base))
+        rid += 1
+        # planted near hash: flip 1..r bits, biased toward the TOP bits
+        # (the uncovered region of a naive uniform banding)
+        flips = rng.sample(range(48, 64), rng.randint(1, 5))
+        near = base
+        for b in flips:
+            near ^= 1 << b
+        rows.append((rid, near - (1 << 64) if near >= 1 << 63 else near))
+        rid += 1
+    df = spark.createDataFrame(rows, "id long, h long")
+
+    for max_h, bands in [(5, 6), (5, 9), (3, None)]:
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_neardup_pairs(
+                df, "id", "h", max_hamming=max_h, bands=bands
+            ).collect()
+        }
+        vals = dict(rows)
+        want = {}
+        ids = sorted(vals)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                hd = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+                if hd <= max_h:
+                    want[(a, b)] = hd
+        assert got == want, (max_h, bands)
+        # planted pairs actually exercised it (flips are 1..5 bits, so
+        # the max_h=3 iteration keeps ~3/5 of the 30 planted pairs)
+        assert len(want) >= (20 if max_h >= 5 else 10)
+
+
+def test_phash_pairs_planted_duplicates(spark):
+    """phash_neardup_pairs finds re-encoded copies (identical phash) and
+    small perceptual edits (<= max_hamming bit flips) over an input_hint
+    shaped table, and nothing else."""
+    import random
+
+    from crawler_to_md_spark.operators.dedup import phash_neardup_pairs
+
+    rng = random.Random(5)
+    rows = []
+    for j in range(40):
+        ph = rng.getrandbits(63)  # keep positive for readability
+        rows.append((f"img-{j:03d}", ph))
+        if j % 10 == 0:
+            rows.append((f"copy-{j:03d}", ph))            # exact re-encode
+        if j % 10 == 5:
+            rows.append((f"edit-{j:03d}", ph ^ (1 << (j % 60)) ^ 1))
+    images = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(images, max_hamming=6).collect()
+    }
+    for j in range(0, 40, 10):
+        assert got.get((f"copy-{j:03d}", f"img-{j:03d}")) == 0
+    for j in range(5, 40, 10):
+        assert got.get((f"edit-{j:03d}", f"img-{j:03d}")) == 2
+    # no false pairs among unrelated random hashes
+    vals = dict(rows)
+    for (a, b), hd in got.items():
+        exact = bin(vals[a] ^ vals[b]).count("1")
+        assert exact == hd <= 6

@@ -70,6 +70,16 @@ AUDITED = {
         "note": "banded bucket self-join carries ids only; shingles join "
                 "back by id for the exact-Jaccard verify (r2 restructure)",
     },
+    "hamming_pairs_docs": {
+        # the banded self-join must never degenerate to all-pairs; at
+        # sf0.01 AQE broadcasts the tiny banded side, at scale it keys
+        # the exchange on (band,key) — assert the verify is JVM
+        # bit_count (no UDF) and nothing goes single-partition/cartesian
+        "expect": ["bit_count"],
+        "forbid": ["SinglePartition", "CartesianProduct"],
+        "note": "pigeonhole banding join + bit_count(xor) hamming verify "
+                "(generic engine behind simhash AND image phash dedup)",
+    },
     "embedding_topk": {
         "expect": ["BroadcastNestedLoopJoin", "Window"],
         "forbid": [],
