@@ -23,8 +23,9 @@ Architecture (Spark-first, NOT a port):
 - ``operators``          seen-set (bloom shards + exact anti-join),
                          politeness (salted host windows), dedup (exact /
                          MinHash-LSH / SimHash / n-gram Jaccard / embedding),
-                         similarity search, text stats, multimodal plumbing,
-                         exports.
+                         near-dup clustering (connected components +
+                         canonical selection), similarity search, text
+                         stats, multimodal plumbing, exports.
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,182 @@
+"""Near-duplicate cluster resolution: connected components over candidate
+pairs + canonical-document selection.
+
+The pair generators in ``operators/dedup.py`` emit edges ``(id_a, id_b)``;
+a real dedup pass must transitively close them (A~B and B~C puts
+{A, B, C} in ONE cluster) and keep one canonical document per cluster.
+Connected components run as the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", ACM SoCC 2014): each iteration is two groupBy+join passes over
+the CURRENT edge set — which only shrinks toward one star edge per
+non-root node — and converges in O(log^2 n) iterations. No driver-side
+graph state, no quadratic transitive closure; the only driver work per
+iteration is one (count, checksum) action for the fixpoint test, and
+``localCheckpoint`` truncates the plan lineage so iteration k's analysis
+cost does not grow with k (on a multi-node cluster, set a reliable
+``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint`` for
+``checkpoint`` to survive executor loss mid-algorithm).
+
+Reference scope note: crawler-to-md's exact dedup (INSERT OR IGNORE,
+database_manager.py:48-51) needs no transitive step because exact
+equality is already transitive; near-dup relations are not, which is why
+fuzzy dedup at training-pipeline scale needs this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    """(row count, order-independent content hash) of an edge set.
+
+    The per-edge hash is shifted into 31 bits before summing so the sum
+    stays far from int64 overflow (ANSI mode would throw) for any
+    realistic edge count."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.shiftrightunsigned(F.xxhash64("u", "v"), 33)), F.lit(0)
+        ).alias("s"),
+    ).first()
+    return (row["n"], row["s"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) + {u}) (symmetrized)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges u > v, then connect each center u and all its
+    smaller neighbors to the smallest of them."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``, where
+    ``component`` is the smallest node id in its connected component.
+
+    Nodes with no edges are absent (a caller doing dedup unions/anti-joins
+    them back — see ``keep_canonical``). Null ids, self-loops and
+    duplicate/reversed edges are tolerated. ``stats``, if given, receives
+    ``{"iterations": k}``. Raises ``RuntimeError`` if no fixpoint within
+    ``max_iterations`` (the algorithm provably converges in O(log^2 n);
+    hitting the cap means the input is adversarial or the cap is tiny).
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    empty = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).limit(0)
+    if prev[0] == 0:
+        if stats is not None:
+            stats["iterations"] = 0
+        return empty
+    it = 0
+    while it < max_iterations:
+        it += 1
+        # eager localCheckpoint materializes AND truncates lineage, so the
+        # fixpoint checksum below is a cheap scan of the checkpointed rows
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e_next)
+        e = e_next
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} iterations"
+        )
+    if stats is not None:
+        stats["iterations"] = it
+    # fixpoint = disjoint stars: every non-root has exactly one edge to its
+    # component minimum; roots appear only on the v side
+    assign = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    # the groupBy-min is belt-and-braces (star shape already implies one
+    # row per id) and folds roots in without a second distinct pass
+    return (
+        assign.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def cluster_assignments(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, cluster_id, cluster_size) per paired node — components labeled
+    by their minimum id, sized with one keyed window (same shuffle key as
+    the label join; no extra stage at scale)."""
+    cc = connected_components(pairs, id_a, id_b, max_iterations, stats)
+    w = Window.partitionBy("component")
+    return cc.select(
+        "id",
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Drop every near-duplicate except the canonical (minimum-id) member
+    of its cluster; rows that paired with nothing pass through untouched.
+
+    The anti-join's build side is only the non-canonical members (strictly
+    smaller than the pair set), so at 100 TB this is a broadcast-or-
+    shuffled-hash anti-join keyed on the doc id — never a scan of docs per
+    cluster."""
+    cc = connected_components(pairs, id_a, id_b, max_iterations)
+    dupes = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(dupes, id_col, "left_anti")

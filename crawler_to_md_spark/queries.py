@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from .crawl.corpus import synth_corpus
 from .crawl.engine import CrawlConfig, CrawlEngine
+from .operators.cluster import cluster_assignments, keep_canonical
 from .operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -964,6 +965,15 @@ WITH toks AS (
 SIMHASH_MD5_SQL = _SIMHASH_MD5_FP_CTE + "SELECT doc_id, simhash FROM fp"
 
 
+def _md5_hamming_pairs(docs):
+    """Shared pair generator for the oracle-checked near-dup family:
+    md5-token simhash fingerprints -> banded pigeonhole blocking ->
+    hamming <= 8 pairs."""
+    fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
+    return hamming_neardup_pairs(fp, "id", "simhash",
+                                 max_hamming=8, bands=9)
+
+
 def hamming_pairs_docs(spark, sf_dir):
     """Near-dup pairs by simhash hamming distance <= 8 over documents,
     via the generic banded pigeonhole blocking
@@ -972,9 +982,7 @@ def hamming_pairs_docs(spark, sf_dir):
     the DuckDB oracle (which verifies with a brute-force quadratic join;
     pigeonhole guarantees the banded plan finds the same pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
-    return hamming_neardup_pairs(fp, "id", "simhash",
-                                 max_hamming=8, bands=9)
+    return _md5_hamming_pairs(docs)
 
 
 HAMMING_SQL = _SIMHASH_MD5_FP_CTE + """
@@ -985,6 +993,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 
+def _images_with_planted_dups(spark):
+    """input_hint table + every 10th image re-registered under a new id
+    (same bytes -> identical phash): the re-encoded-copy scenario."""
+    from .crawl.corpus import synth_images_table
+
+    images = synth_images_table(spark, n_images=120, seed=42)
+    planted = images.filter(
+        (F.substring("image_id", 5, 6).cast("int") % 10) == 0
+    ).withColumn("image_id", F.concat(F.lit("dup-"), F.col("image_id")))
+    return images.unionByName(planted)
+
+
 def phash_pairs_images(spark, sf_dir):
     """Image near-dup by perceptual-hash hamming over the input_hint
     table (phash:int64 computed from decoded pixels at ingest): the
@@ -992,15 +1012,82 @@ def phash_pairs_images(spark, sf_dir):
     decode — no SQL analog); correctness pinned by
     tests/test_dedup.py::test_phash_pairs_* (banded == brute force,
     planted re-encoded copies found)."""
-    from .crawl.corpus import synth_images_table
+    return phash_neardup_pairs(_images_with_planted_dups(spark), max_hamming=6)
 
-    images = synth_images_table(spark, n_images=120, seed=42)
-    # plant duplicates: every 10th image re-registered under a new id
-    # (same bytes -> identical phash), the re-encoded-copy scenario
-    planted = images.filter(
-        (F.substring("image_id", 5, 6).cast("int") % 10) == 0
-    ).withColumn("image_id", F.concat(F.lit("dup-"), F.col("image_id")))
-    return phash_neardup_pairs(images.unionByName(planted), max_hamming=6)
+
+def neardup_clusters_docs(spark, sf_dir):
+    """Transitive near-dup clusters: the md5-simhash hamming<=8 pairs
+    closed under connectivity by the distributed large-star/small-star
+    algorithm (operators/cluster.py), labeled by the cluster's minimum
+    doc_id and sized. The DuckDB oracle recomputes the SAME pairs and
+    closes them with a recursive CTE — a full value check of an
+    iterative distributed graph algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_assignments(_md5_hamming_pairs(docs)).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+def dedup_keep_canonical_docs(spark, sf_dir):
+    """End-to-end fuzzy dedup: near-dup pairs -> connected components ->
+    keep ONLY the canonical (minimum-id) member per cluster; unpaired
+    docs pass through. This is the operation a training-data pipeline
+    actually runs — pair lists are an intermediate, the kept set is the
+    product."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = keep_canonical(docs, _md5_hamming_pairs(docs), id_col="doc_id")
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def phash_clusters_images(spark, sf_dir):
+    """Image near-dup clusters over the planted-duplicate phash pairs —
+    the image-corpus twin of neardup_clusters_docs. Rows-only (phash
+    derives from binary decode); pinned by
+    tests/test_cluster.py::test_phash_clusters_planted_dups against a
+    union-find reference."""
+    pairs = phash_neardup_pairs(_images_with_planted_dups(spark), max_hamming=6)
+    return cluster_assignments(pairs).select(
+        F.col("id").alias("image_id"), "cluster_id", "cluster_size"
+    )
+
+
+# recursive transitive closure over the SAME pairs the Spark side blocks
+# via pigeonhole banding; quadratic reach is fine at oracle scale (the
+# Spark algorithm is the scale path)
+_CLUSTER_CTE = _SIMHASH_MD5_FP_CTE.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+"""
+
+NEARDUP_CLUSTERS_SQL = _CLUSTER_CTE + """
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+KEEP_CANONICAL_SQL = _CLUSTER_CTE + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id) x
+       ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1042,6 +1129,9 @@ QUERIES = {
     "simhash_md5_docs": simhash_md5_docs,
     "hamming_pairs_docs": hamming_pairs_docs,
     "phash_pairs_images": phash_pairs_images,
+    "neardup_clusters_docs": neardup_clusters_docs,
+    "dedup_keep_canonical_docs": dedup_keep_canonical_docs,
+    "phash_clusters_images": phash_clusters_images,
 }
 
 ORACLES = {
@@ -1074,7 +1164,10 @@ ORACLES = {
     "crawl_links": CRAWL_LINKS_SQL,
     "simhash_md5_docs": SIMHASH_MD5_SQL,
     "hamming_pairs_docs": HAMMING_SQL,
-    # minhash_pairs_docs / simhash_docs / image_* / phash_pairs_images:
+    "neardup_clusters_docs": NEARDUP_CLUSTERS_SQL,
+    "dedup_keep_canonical_docs": KEEP_CANONICAL_SQL,
+    # minhash_pairs_docs / simhash_docs / image_* / phash_pairs_images /
+    # phash_clusters_images:
     # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
     # decode) -> rows-only check; correctness covered by pytest oracles
     # instead. simhash_md5_docs / hamming_pairs_docs drive the SAME
