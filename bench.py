@@ -282,6 +282,8 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     def cfg_for(pages):
         return CrawlConfig(
             use_bloom=True, profile=True,
+            dedup_pre_shuffle=os.environ.get(
+                "SPARK_GRAFT_BENCH_PRESHUFFLE", "0") == "1",
             fetch_df_fn=synth_fetch_df_fn(pages, 64, CRAWL_BRANCHING))
 
     # warmup (untimed): JVM codegen + Python UDF workers + shuffle paths
@@ -437,7 +439,8 @@ def _save_historical_minima(lo: dict, hi: dict) -> None:
                    "last_rev": rev}, f, indent=1)
 
 
-def _run_crawl_subprocess(cpus: int) -> dict:
+def _run_crawl_subprocess(cpus: int, max_timeout_s: float | None = None,
+                          ) -> dict | None:
     """One crawl bench at local[cpus], CPU-PINNED to exactly that many
     cores (taskset). Unpinned, local[N] is NOT an N-core machine: the
     JVM's GC/shuffle/IO threads and the Python UDF workers ride FREE
@@ -445,19 +448,67 @@ def _run_crawl_subprocess(cpus: int) -> dict:
     small-N level (measured: the 2-core level ran the steady wave ~35%
     faster unpinned), structurally depressing every N->4N ratio. Pinning
     makes the pair an honest N-core vs 4N-core machine comparison — the
-    thing a real N-executor vs 4N-executor cluster is."""
+    thing a real N-executor vs 4N-executor cluster is.
+
+    NEVER raises on a failed/slow run: returns None instead. A host
+    storm once stretched a ~4-min subprocess past the 30-min cap and the
+    resulting TimeoutExpired killed the WHOLE bench — the driver got no
+    JSON line at all. A lost round is recoverable; a lost artifact is
+    not. On timeout the subprocess's entire process GROUP is killed
+    (the python child spawns a JVM; killing only the child leaves a
+    32-thread orphan JVM burning cores under every later round)."""
     import shutil as _shutil
 
+    # default cap = ~3-4x a clean-host run (4-6 min at the low level);
+    # a run past that is inside a storm whose numbers would be discarded
+    # anyway — fail fast and let the caller sleep-and-retry. The caller
+    # additionally caps by its remaining wall budget (max_timeout_s).
+    timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_SUBPROC_TIMEOUT",
+                                     "1200"))
+    if max_timeout_s is not None:
+        timeout_s = max(60.0, min(timeout_s, max_timeout_s))
     cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only",
            str(cpus), str(CRAWL_PAGES)]
     if _shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd,
-        capture_output=True, text=True, timeout=1800, check=True,
+    return _run_json_subprocess(cmd, timeout_s, f"local[{cpus}]")
+
+
+def _run_json_subprocess(cmd: list, timeout_s: float,
+                         label: str) -> dict | None:
+    """Run ``cmd``, parse its last stdout line as JSON. Returns None on
+    timeout / nonzero exit / unparseable output — never raises (see
+    _run_crawl_subprocess). Timeout kills the whole process GROUP."""
+    import signal as _signal
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, _signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+        print(f"[bench] crawl subprocess {label} timed out after "
+              f"{timeout_s:.0f}s — killed process group, dropping round",
+              file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"[bench] crawl subprocess {label} exited "
+              f"{proc.returncode}; stderr tail: {err.strip()[-500:]}",
+              file=sys.stderr)
+        return None
+    try:
+        return json.loads(out.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        print(f"[bench] crawl subprocess {label} produced no JSON; "
+              f"stdout tail: {out.strip()[-300:]}", file=sys.stderr)
+        return None
 
 
 def _headline_queries(sf_dir: str, cpus: int, reps: int) -> tuple[dict, list]:
@@ -777,19 +828,65 @@ def main() -> None:
         _finalize_clean(effs, lo_runs, hi_runs, hist=hist)
         return any(e["clean"] for e in effs)
 
+    # a failed subprocess (storm-stretched past its timeout, crash, no
+    # JSON) drops the ROUND, never the bench: orphan successes still
+    # feed the per-level minima, and the attempt cap bounds the loop
+    # when every attempt fails
+    lo_orphans, hi_orphans = [], []
+    failed_attempts = 0
+    max_attempts = max_rounds + 3
     while True:
         n = len(round_effs)
         if n >= rounds and (_have_final_clean() or n >= max_rounds):
             break
-        if n >= rounds:  # extra storm-dodging round
-            remaining = budget_s - (time.time() - t0)
+        if n + failed_attempts >= max_attempts:
+            break
+        remaining = budget_s - (time.time() - t0)
+        if n >= rounds or failed_attempts:  # extra / post-failure round
             if remaining < 300:  # no room for sleep + a full round pair
                 break
             time.sleep(min(retry_sleep, max(0.0, remaining - 300)))
-        lo_runs.append(_run_crawl_subprocess(BENCH_LEVELS[0]))
-        hi_runs.append(_run_crawl_subprocess(BENCH_LEVELS[1]))
-        round_effs.append(_round_effs(lo_runs[-1], hi_runs[-1]))
-    lo, hi = _merge_runs(lo_runs), _merge_runs(hi_runs)
+        elif n > 0 and remaining < 60:
+            break  # budget gone mid-base-rounds; keep what we have
+        # cap each subprocess by the remaining wall budget (+ slop when
+        # nothing succeeded yet — a degraded artifact beats an empty one,
+        # but one storm-stuck subprocess must not eat the whole window)
+        slop = 600.0 if round_effs else 900.0
+        cap = max(120.0, budget_s - (time.time() - t0) + slop)
+        li = _run_crawl_subprocess(BENCH_LEVELS[0], max_timeout_s=cap)
+        cap = max(120.0, budget_s - (time.time() - t0) + slop)
+        hj = (_run_crawl_subprocess(BENCH_LEVELS[1], max_timeout_s=cap)
+              if li else None)
+        if li is None or hj is None:
+            failed_attempts += 1
+            if li:
+                lo_orphans.append(li)
+            continue
+        lo_runs.append(li)
+        hi_runs.append(hj)
+        round_effs.append(_round_effs(li, hj))
+    if not round_effs:
+        # zero successful pairs: emit a degraded-but-PARSEABLE line (the
+        # artifact must exist even when the host never yields a window)
+        print(json.dumps({
+            "metric": "suite_seconds",
+            "value": round(time.time() - t0, 2),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "crawl_scaling": {
+                "levels": BENCH_LEVELS,
+                "error": "all crawl-subprocess rounds failed "
+                         f"({failed_attempts} attempts; host storm or "
+                         "subprocess timeout) — scaling evidence in "
+                         "BENCH/minima.json from prior sessions",
+                "clean_rounds": 0,
+                "rounds_total": 0,
+            },
+        }))
+        return
+    lo = _merge_runs(lo_runs + lo_orphans)
+    hi = _merge_runs(hi_runs + hi_orphans)
 
     _finalize_clean(round_effs, lo_runs, hi_runs, hist=hist)
     clean = [r for r in round_effs if r["clean"]]

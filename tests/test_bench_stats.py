@@ -196,3 +196,24 @@ def test_historical_minima_roundtrip(tmp_path, monkeypatch):
     # workload-param change discards history
     monkeypatch.setattr(bench, "CRAWL_PAGES", bench.CRAWL_PAGES + 1)
     assert bench._load_historical_minima() is None
+
+
+def test_json_subprocess_never_raises():
+    """A storm once stretched one crawl subprocess past its timeout and
+    the escaping TimeoutExpired killed the whole bench — the driver got
+    NO JSON artifact. The runner must convert every failure mode
+    (timeout, nonzero exit, garbage stdout) into None."""
+    py = sys.executable
+    # timeout -> None (and the process group is reaped, not leaked)
+    assert bench._run_json_subprocess(
+        [py, "-c", "import time; time.sleep(30)"], 0.5, "t") is None
+    # nonzero exit -> None
+    assert bench._run_json_subprocess(
+        [py, "-c", "raise SystemExit(3)"], 10, "t") is None
+    # unparseable stdout -> None
+    assert bench._run_json_subprocess(
+        [py, "-c", "print('not json')"], 10, "t") is None
+    # happy path: last stdout line parses
+    out = bench._run_json_subprocess(
+        [py, "-c", "print('noise'); print('{\"ok\": 1}')"], 10, "t")
+    assert out == {"ok": 1}

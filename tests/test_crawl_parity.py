@@ -114,6 +114,19 @@ def test_bloom_off_same_result(spark, tmp_path):
     assert_parity(eng, sim)
 
 
+def test_dedup_pre_shuffle_same_result(spark, tmp_path):
+    # the pre-shuffle dedup strategy is a PHYSICAL choice (where the
+    # first-write-wins aggregation's exchange sits): every link, rank,
+    # page and ordering must be byte-identical to the default path
+    eng, sim = run_both(
+        spark, tmp_path, n_pages=40,
+        cfg_kwargs={"dedup_pre_shuffle": True},
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    assert_parity(eng, sim)
+
+
 def test_non200_and_nonhtml_marked_visited_no_page(spark, tmp_path):
     eng, sim = run_both(
         spark, tmp_path, n_pages=60,

@@ -159,6 +159,42 @@ def _audit_bloom_anti_join_large(spark):
     return df
 
 
+def _cluster_edges(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(5_000).select(
+        (F.col("id") % 997).alias("id_a"),
+        ((F.col("id") * 31) % 997).alias("id_b"),
+    )
+
+
+def _audit_cluster_iteration(spark):
+    # ONE large-star + small-star pass — the body the fixpoint loop
+    # repeats; connected_components itself materializes eagerly via
+    # localCheckpoint so only the iteration plan is auditable
+    from crawler_to_md_spark.operators.cluster import (
+        _large_star,
+        _small_star,
+    )
+    from pyspark.sql import functions as F
+
+    e = _cluster_edges(spark).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    return _small_star(_large_star(e))
+
+
+def _audit_keep_canonical(spark):
+    from crawler_to_md_spark.operators.cluster import keep_canonical
+    from pyspark.sql import functions as F
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+    )
+    return keep_canonical(docs, _cluster_edges(spark))
+
+
 # operator-level audits (not QUERIES entries): builder -> plan assertions.
 # `expect_analyzed` / `forbid_analyzed` run against explain('extended')
 # (hints are visible only pre-optimization).
@@ -200,6 +236,28 @@ AUDITED_OPS = {
                 "hex-free (a multi-MB literal re-renders per AQE plan "
                 "event — GC churn that 10x'd the steady wave), probe "
                 "stays codegen might_contain",
+    },
+    "cluster_star_iteration": {
+        "build": _audit_cluster_iteration,
+        # each contraction iteration is groupBy(u)+join(u) passes: keyed
+        # shuffles only, pure JVM exprs, edge set never self-joined raw
+        "expect": ["hashpartitioning(u"],
+        "forbid": ["SinglePartition", "CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython"],
+        "forbid_analyzed": [],
+        "note": "large-star/small-star iteration: min-label groupBy and "
+                "label join both key on the node id — no global "
+                "structures, no Python in the loop body",
+    },
+    "cluster_keep_canonical": {
+        "build": _audit_keep_canonical,
+        # the dedup application: docs anti-join the non-canonical ids
+        "expect": ["LeftAnti"],
+        "forbid": ["SinglePartition", "CartesianProduct"],
+        "forbid_analyzed": [],
+        "note": "kept set = docs LEFT ANTI JOIN non-canonical members on "
+                "the doc id (AQE broadcasts the small build side; keyed "
+                "shuffle at scale)",
     },
     "politeness_global_budget_large": {
         "build": _audit_global_budget_large,
