@@ -748,6 +748,13 @@ class CrawlEngine:
             ranked, n_new, pinned = with_global_rank(
                 new_links, ["okey"], "wrank",
                 start=0, bucket_col=bucket,
+                # perfect contiguous bucket->partition placement: equal
+                # rank partitions -> equal frontier delta FILES -> the next
+                # wave's scan splits one-per-file and its dominant stage
+                # runs core-balanced (rank.py docstring; raw bucket hashing
+                # gave the fullest partition ~1.5-2x the mean and the high
+                # parallelism level inherited it as a per-wave straggler)
+                num_buckets=(nb if bucket is not None else None),
             )
             wave_caches.append(pinned)
             tick("dedup_rank")

@@ -341,6 +341,80 @@ def test_global_rank_dense_and_ordered(spark):
     assert keys == sorted(keys)
 
 
+def test_murmur3_matches_spark(spark):
+    """The driver-side Murmur3 replica must agree with Spark's F.hash on
+    IntegerType values — perfect_partition_keys' placement guarantee rests
+    on it (a drift would silently re-skew every 'balanced' partition)."""
+    from crawler_to_md_spark.operators.rank import murmur3_hash_int32
+
+    vals = list(range(0, 200)) + [-1, -17, 2**31 - 1, -(2**31), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    rows = df.select("v", F.hash(F.col("v")).alias("h")).collect()
+    for r in rows:
+        assert murmur3_hash_int32(r["v"]) == r["h"], r["v"]
+
+
+def test_perfect_partition_keys_place_exactly(spark):
+    from crawler_to_md_spark.operators.rank import (
+        murmur3_hash_int32,
+        perfect_partition_keys,
+    )
+
+    for n in (2, 3, 8, 32):
+        keys = perfect_partition_keys(n)
+        assert len(set(keys)) == n
+        for p, k in enumerate(keys):
+            assert murmur3_hash_int32(k) % n == p
+    # end-to-end: repartition(n, key) puts keys[p]'s rows in partition p
+    n = 8
+    keys = perfect_partition_keys(n)
+    df = spark.createDataFrame([(k,) for k in keys for _ in range(10)],
+                               "k int")
+    got = (
+        df.repartition(n, F.col("k"))
+        .select("k", F.spark_partition_id().alias("p"))
+        .distinct()
+        .collect()
+    )
+    assert {(r["k"], r["p"]) for r in got} == {
+        (k, p) for p, k in enumerate(keys)
+    }
+
+
+def test_global_rank_perfect_buckets_balanced_and_ordered(spark):
+    """num_buckets engages perfect placement: identical rank output AND
+    every partition holds exactly num_buckets/n contiguous buckets."""
+    from crawler_to_md_spark.operators.rank import perfect_partition_keys
+
+    df = spark.range(4000).select(
+        (F.col("id") * 7919 % 4000).alias("key"), F.col("id").alias("payload")
+    )
+    nb, n = 32, 8
+    bucket = F.least(F.lit(nb - 1), F.greatest(
+        F.lit(0), (F.col("key") * nb / 4000).cast("int")))
+    ranked, total, pinned = with_global_rank(
+        df, ["key"], "rk", start=0, bucket_col=bucket,
+        num_partitions=n, num_buckets=nb,
+    )
+    assert total == 4000
+    rows = ranked.orderBy("rk").collect()
+    # dense global rank in key order
+    assert [r["rk"] for r in rows] == list(range(4000))
+    keys_sorted = [r["key"] for r in rows]
+    assert keys_sorted == sorted(keys_sorted)
+    # balanced: the pinned cache's partitions each hold nb/n buckets =
+    # exactly 1/n of the rows (equal-span buckets over a uniform key)
+    sizes = [
+        r["c"] for r in pinned.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    pinned.unpersist()
+    assert len(sizes) == n
+    assert max(sizes) == min(sizes) == 4000 // n
+    # sanity: the slot keys really are the perfect keys
+    assert len(perfect_partition_keys(n)) == n
+
+
 def test_global_rank_bucket_path_matches_range_path(spark):
     """The sampling-free bucket path (caller-derived range buckets) must
     produce the identical dense rank as repartitionByRange."""
