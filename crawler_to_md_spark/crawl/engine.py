@@ -551,6 +551,8 @@ class CrawlEngine:
             for df in wave_caches:
                 df.unpersist()
             return {"wave": wave, "fetched": 0, "done": True}
+        if src_delta_files:
+            self._pin_scan_splits(src_delta_files)
 
         try:
             return self._run_wave_body(
@@ -564,6 +566,28 @@ class CrawlEngine:
             # of the wave is registered in wave_caches
             for df in wave_caches:
                 df.unpersist()
+
+    def _pin_scan_splits(self, files: list[str]) -> None:
+        """One parquet file -> exactly ONE scan split for this wave's jobs.
+
+        Spark packs small files into FilePartitions greedily by size
+        (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+        totalBytes/cores))), so the steady wave's 8 EQUAL delta files
+        (rank.py perfect placement) routinely land in 7 bins with one bin
+        carrying two files — a built-in 2x straggler on the wave's
+        dominant stage at the high parallelism level. The balanced files
+        make the identity assignment optimal: set BOTH knobs to just above
+        the largest file, so a second file always overflows the split
+        (openCost alone exceeds the remaining room) while no single file
+        is ever chopped in two. Session-scoped; refreshed each wave with
+        that wave's actual file sizes and restored by run()'s finally."""
+        try:
+            mx = max(os.path.getsize(f) for f in files)
+        except OSError:
+            return  # non-local paths: keep Spark's defaults
+        v = str(max(4 << 20, mx + 1))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        self.spark.conf.set("spark.sql.files.openCostInBytes", v)
 
     def _run_wave_body(
         self, wave, corpus, cfg, pending, n_selected, rank_lo, fast_nfiles,
@@ -1022,24 +1046,40 @@ class CrawlEngine:
             start_wave = 1
         all_metrics: list[dict] = []
         wave = start_wave
-        while True:
-            if self.cfg.max_waves is not None and wave > self.cfg.max_waves:
-                break
-            wave_rules = robots_rules
-            if live_robots:
-                self._robots_refresh(wave)
-                live_rules = self.robots_active_rules()
-                wave_rules = (
-                    live_rules if wave_rules is None
-                    else wave_rules.unionByName(live_rules)
-                )
-            m = self.run_wave(wave, corpus, wave_rules)
-            all_metrics.append(m)
-            if on_wave is not None:
-                on_wave(m)
-            if m.get("done"):
-                break
-            wave += 1
+        # _pin_scan_splits retunes the file-split confs per wave; snapshot
+        # them here so a shared session gets its defaults back after the
+        # crawl (other workloads should not inherit crawl-sized splits)
+        split_confs = {
+            k: self.spark.conf.get(k, None)
+            for k in ("spark.sql.files.maxPartitionBytes",
+                      "spark.sql.files.openCostInBytes")
+        }
+        try:
+            while True:
+                if (self.cfg.max_waves is not None
+                        and wave > self.cfg.max_waves):
+                    break
+                wave_rules = robots_rules
+                if live_robots:
+                    self._robots_refresh(wave)
+                    live_rules = self.robots_active_rules()
+                    wave_rules = (
+                        live_rules if wave_rules is None
+                        else wave_rules.unionByName(live_rules)
+                    )
+                m = self.run_wave(wave, corpus, wave_rules)
+                all_metrics.append(m)
+                if on_wave is not None:
+                    on_wave(m)
+                if m.get("done"):
+                    break
+                wave += 1
+        finally:
+            for k, v in split_confs.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
         self.flush_metrics()
         if prepared_corpus is not None:
             prepared_corpus.unpersist()

@@ -227,3 +227,44 @@ def test_virtual_manifest_shape_is_json_clean(spark, tmp_path):
         m = json.load(f)
     assert m["virtual"][0]["constants"] == [["t", "string", "x"]]
     assert m["delta_files"] == []
+
+
+def test_pin_scan_splits_sets_and_run_restores_confs(spark, tmp_path):
+    """_pin_scan_splits must size both file-split knobs to just above the
+    largest delta file (one file -> one split: no bin-packing straggler on
+    the steady wave's dominant stage), and run() must hand the session
+    back with the pre-crawl values (other workloads must not inherit
+    crawl-sized splits)."""
+    keys = ("spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes")
+    before = [spark.conf.get(k, None) for k in keys]
+
+    root = str(tmp_path / "store")
+    corpus = synth_corpus(spark, n_pages=30, n_hosts=1, branching=2, seed=7)
+    eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+
+    # direct contract: the knobs land at max(4MB, largest file + 1)
+    f1 = tmp_path / "a.bin"
+    f1.write_bytes(b"x" * 100)
+    eng._pin_scan_splits([str(f1)])
+    assert spark.conf.get(keys[0]) == str(4 << 20)
+    assert spark.conf.get(keys[1]) == str(4 << 20)
+    big = 6 << 20
+    f2 = tmp_path / "b.bin"
+    f2.write_bytes(b"x" * big)
+    eng._pin_scan_splits([str(f1), str(f2)])
+    assert spark.conf.get(keys[0]) == str(big + 1)
+    # missing files leave the session untouched (non-local stores)
+    eng._pin_scan_splits([str(tmp_path / "nope.bin")])
+    assert spark.conf.get(keys[0]) == str(big + 1)
+
+    # end-to-end: a crawl retunes per wave, then restores on exit —
+    # including to the UNSET state (the manual pins above are undone
+    # first so the restore path exercises conf.unset)
+    for k, v in zip(keys, before):
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+    eng.run(corpus, single_url="https://host0.example/p/0")
+    assert [spark.conf.get(k, None) for k in keys] == before
