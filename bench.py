@@ -238,16 +238,73 @@ def _stage_profile(spark, t0_s: float, t1_s: float) -> list[dict]:
             ts = sub.get().getTime() / 1000.0
             if not (t0_s <= ts <= t1_s):
                 continue
+            comp = s.completionTime()
+            wall_ms = (int(comp.get().getTime() - sub.get().getTime())
+                       if comp.isDefined() else None)
             out.append({
                 "stage": int(s.stageId()),
+                "t_rel_s": round(ts - t0_s, 2),
+                "wall_ms": wall_ms,
                 "name": s.name()[:80],
                 "run_ms": int(s.executorRunTime()),
                 "cpu_ms": int(s.executorCpuTime() // 1_000_000),
                 "tasks": int(s.numCompleteTasks()),
                 "input_mb": round(s.inputBytes() / 1e6, 1),
+                "input_rec": int(s.inputRecords()),
+                "shuffle_read_mb": round(s.shuffleReadBytes() / 1e6, 1),
                 "shuffle_write_mb": round(s.shuffleWriteBytes() / 1e6, 1),
+                "out_rec": int(s.outputRecords()),
+                "spill_mb": round(s.memoryBytesSpilled() / 1e6, 1),
+                "gc_ms": int(s.jvmGcTime()),
             })
         return sorted(out, key=lambda d: -d["run_ms"])[:14]
+    except Exception:
+        return []
+
+
+def _job_profile(spark, t0_s: float, t1_s: float) -> list[dict]:
+    """Job-level timeline (AppStatusStore) for jobs submitted inside a
+    wall window, in submission order — the stage profile says where task
+    time goes, this says where DRIVER time goes: gaps between one job's
+    completion and the next job's submission are pure driver-side cost
+    (Catalyst analysis/optimization, AQE re-planning, py4j round-trips,
+    manifest IO) that no executor count can shrink — the per-wave fixed
+    costs that cap N->4N scaling. ``gap_ms`` is the idle time since the
+    previous job in the window completed."""
+    try:
+        ss = spark.sparkContext._jsc.sc().statusStore()
+        lst = ss.jobsList(None)
+        jobs = []
+        for i in range(lst.size()):
+            j = lst.apply(i)
+            sub = j.submissionTime()
+            if not sub.isDefined():
+                continue
+            ts = sub.get().getTime() / 1000.0
+            if not (t0_s <= ts <= t1_s):
+                continue
+            comp = j.completionTime()
+            end = comp.get().getTime() / 1000.0 if comp.isDefined() else None
+            jobs.append({
+                "job": int(j.jobId()),
+                "t_rel_s": round(ts - t0_s, 2),
+                "wall_ms": int((end - ts) * 1000) if end else None,
+                "name": str(j.name() or "")[:70],
+                # stageIds is a Scala Seq — not Python-iterable via py4j
+                "stages": [int(x) for x in
+                           str(j.stageIds().mkString(",")).split(",") if x],
+                "tasks": int(j.numTasks()),
+                "_end": end,
+            })
+        jobs.sort(key=lambda d: d["t_rel_s"])
+        prev_end = t0_s
+        for d in jobs:
+            d["gap_ms"] = int(max(0.0, (t0_s + d["t_rel_s"] - prev_end))
+                              * 1000)
+            if d["_end"]:
+                prev_end = max(prev_end, d["_end"])
+            del d["_end"]
+        return jobs[:24]
     except Exception:
         return []
 
@@ -312,6 +369,10 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
             _stage_profile(spark, big["t_start"], big["t_end"])
             if "t_start" in big else []
         )
+        steady_jobs = (
+            _job_profile(spark, big["t_start"], big["t_end"])
+            if "t_start" in big else []
+        )
     steady = big["selected"] / big["seconds"]
 
     # frontier-dedup microbench: canonicalize + hash + bloom + anti-join
@@ -357,6 +418,7 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
         "steady_urls_per_sec": round(steady, 1),
         "steady_phases": big.get("phases", {}),
         "steady_stage_profile": steady_stages,
+        "steady_job_profile": steady_jobs,
         "crawl_steal_pct": crawl_steal,
         "dedup_steal_pct": dedup_steal,
         "dedup_candidates": DEDUP_CANDIDATES,
@@ -381,7 +443,7 @@ def _merge_runs(runs: list[dict]) -> dict:
         if r["steady_wave_seconds"] < best["steady_wave_seconds"]:
             for k in ("steady_wave_selected", "steady_wave_seconds",
                       "steady_urls_per_sec", "steady_phases",
-                      "steady_stage_profile"):
+                      "steady_stage_profile", "steady_job_profile"):
                 best[k] = r.get(k)
         if r["dedup_seconds"] < best["dedup_seconds"]:
             for k in ("dedup_seconds", "dedup_per_sec", "dedup_new",
@@ -951,9 +1013,11 @@ def main() -> None:
             # phase/stage profiles stay in the side file: the stdout line
             # must remain small enough for the driver's capture window
             "low": {k: v for k, v in lo.items()
-                    if k not in ("steady_phases", "steady_stage_profile")},
+                    if k not in ("steady_phases", "steady_stage_profile",
+                                 "steady_job_profile")},
             "high": {k: v for k, v in hi.items()
-                     if k not in ("steady_phases", "steady_stage_profile")},
+                     if k not in ("steady_phases", "steady_stage_profile",
+                                  "steady_job_profile")},
             # headline = median over clean rounds (the gate statistic);
             # *_best = most favorable round, for continuity with r1/r2
             "efficiency": eff,

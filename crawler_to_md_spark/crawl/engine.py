@@ -75,7 +75,7 @@ from ..operators.politeness import (
     parse_robots_txt,
     robots_gate,
 )
-from ..operators.rank import with_global_rank
+from ..operators.rank import perfect_partition_keys, with_global_rank
 from ..operators.seen import anti_join_new, load_seen_set, new_seen_set
 from ..tables import SnapshotTable
 
@@ -104,8 +104,10 @@ def needs_repartition_for_map(n_files: int | None, parallelism: int) -> bool:
     and near-miss counts are the COMMON case, because _npart caps at
     defaultParallelism yet a rank bucket can hash empty (7-of-8 files).
     So shuffle only when the parallelism loss exceeds 2x: unknown file
-    count, or fewer files than half the cores."""
-    return n_files is None or n_files < max(1, parallelism // 2)
+    count, or fewer files than half the cores. The floor of 2 catches the
+    1-file delta at parallelism 2 (1 < 2//2 would skip the shuffle and run
+    the whole wave in one task)."""
+    return n_files is None or n_files < max(2, parallelism // 2)
 
 
 @dataclass
@@ -828,11 +830,43 @@ class CrawlEngine:
                 # per-source new-link counts (reference A4) fall out
                 # of a groupBy on this column
                 F.col("src_rank"),
+                F.col("wrank").alias("_wrank"),
             )
+            # EQUAL-SIZE delta files by ACTUAL rank, not by the rank job's
+            # bucket guess: the pre-agg src_rank->bucket map assumes new
+            # links spread uniformly over the discovering wave's stride,
+            # but real graphs concentrate discovery at the frontier
+            # boundary (in the bench tree, only parents with
+            # pid*branching < corpus emit children — the first ~half of
+            # the stride), leaving the TAIL buckets empty: at 8 cores the
+            # delta landed in 4 files and the next wave's dominant stage
+            # (one pinned scan split per file) ran at half parallelism.
+            # wrank is exact and already materialized, so
+            # file = wrank*k/n_new is perfectly balanced for ANY
+            # distribution; hash-perfect keys place file ids exactly. The
+            # shuffle moves only the final (narrow) delta rows and runs
+            # inside the CONCURRENT commit window, overlapped with the
+            # (bigger) pages append.
+            k = _npart(n_new, cap=self._wcap)
+            if k > 1:
+                keys = perfect_partition_keys(k)
+                fid = F.least(
+                    F.lit(k - 1),
+                    (F.col("_wrank") * k / F.lit(max(1, n_new))).cast("int"),
+                )
+                pkey = F.element_at(
+                    F.array(*[F.lit(x) for x in keys]), fid + 1
+                )
+                out = (
+                    new_frontier.withColumn("_fkey", pkey)
+                    .repartition(k, F.col("_fkey"))
+                    .sortWithinPartitions("discovery_rank")
+                    .drop("_fkey", "_wrank")
+                )
+            else:
+                out = new_frontier.drop("_wrank")
             results["frontier"] = self.frontier.append(
-                new_frontier,
-                {"wave": wave, "max_rank": base + n_new - 1},
-                target_partitions=_npart(n_new, cap=self._wcap),
+                out, {"wave": wave, "max_rank": base + n_new - 1},
             )
             phases["frontier_append"] = round(time.time() - t, 3)
 

@@ -238,6 +238,8 @@ def test_needs_repartition_for_map_threshold():
     assert not needs_repartition_for_map(7, 8)     # near-miss: skip
     assert not needs_repartition_for_map(8, 8)
     assert not needs_repartition_for_map(12, 8)    # more files than cores
-    # tiny clusters: par//2 == 1 floor means >=1 file always skips
-    assert not needs_repartition_for_map(1, 2)
+    # tiny clusters: the floor of 2 catches the 1-file delta at
+    # parallelism 2 (a whole steady wave in ONE task otherwise)
+    assert needs_repartition_for_map(1, 2)
+    assert not needs_repartition_for_map(2, 2)
     assert needs_repartition_for_map(None, 2)
