@@ -602,12 +602,24 @@ class CrawlEngine:
         # ---- fetch stage: corpus join (sandbox; see corpus.py) or live
         # HTTP mapInPandas (sources/http_fetch.py) when corpus is None
         if corpus is None:
-            # restore map parallelism for per-row fetch paths when the
-            # frontier delta has too few files — see
-            # needs_repartition_for_map for the full cost trade-off
+            # decouple the wave's heavy map stage from the delta's file
+            # layout: for big waves, hash-repartition the pending rows on
+            # url_hash before the fetch/scrape/agg pipeline. Measured at
+            # the steady wave (983k rows, 8 pinned cores): the scan-rooted
+            # fused stage burns ~1.3-2x the JVM CPU of the split
+            # scan->shuffle->map shape and inherits any file imbalance,
+            # while the narrow-row shuffle costs ~1s of a 16s wave.
+            # Column-hash partitioning (not bare repartition(n)): round
+            # robin must LOCAL-SORT every row first for deterministic
+            # retries (spark.sql.execution.sortBeforeRepartition), which
+            # was most of the old shuffle's cost; url_hash is uniform so
+            # occupancy is even. Small waves skip the shuffle (fixed AQE
+            # boundary cost dominates) unless the file count would halve
+            # map parallelism — see needs_repartition_for_map.
             par = self.spark.sparkContext.defaultParallelism
-            if needs_repartition_for_map(fast_nfiles, par):
-                pending = pending.repartition(par)
+            if (needs_repartition_for_map(fast_nfiles, par)
+                    or n_selected >= 50_000):
+                pending = pending.repartition(par, F.col("url_hash"))
         if corpus is not None:
             corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
             fetched = pending.join(
