@@ -285,11 +285,16 @@ def _job_profile(spark, t0_s: float, t1_s: float) -> list[dict]:
                 continue
             comp = j.completionTime()
             end = comp.get().getTime() / 1000.0 if comp.isDefined() else None
+            # prefer the engine's setJobDescription label (attributes the
+            # job to a wave phase / table append) over the raw call site
+            desc = j.description()
+            label = (str(desc.get()) if desc.isDefined() and desc.get()
+                     else str(j.name() or ""))
             jobs.append({
                 "job": int(j.jobId()),
                 "t_rel_s": round(ts - t0_s, 2),
                 "wall_ms": int((end - ts) * 1000) if end else None,
-                "name": str(j.name() or "")[:70],
+                "name": label[:70],
                 # stageIds is a Scala Seq — not Python-iterable via py4j
                 "stages": [int(x) for x in
                            str(j.stageIds().mkString(",")).split(",") if x],

@@ -783,6 +783,11 @@ class CrawlEngine:
                          * nb / F.lit(span)).cast("int"),
                     ),
                 )
+            # label the wave's one materializing action (and every AQE
+            # stage job under it) for profile/UI attribution
+            self.spark.sparkContext.setJobDescription(
+                f"wave{wave}:materialize+rank"
+            )
             ranked, n_new, pinned = with_global_rank(
                 new_links, ["okey"], "wrank",
                 start=0, bucket_col=bucket,
@@ -795,6 +800,7 @@ class CrawlEngine:
                 num_buckets=(nb if bucket is not None else None),
             )
             wave_caches.append(pinned)
+            self.spark.sparkContext.setJobDescription(None)
             tick("dedup_rank")
 
         if cfg.seed_list_mode:
@@ -952,6 +958,7 @@ class CrawlEngine:
                     target_partitions=_npart(n_skip, cap=self._wcap),
                 )
                 minus_files = man["delta_files"]
+            fr_cur = self.frontier.current_snapshot()
             self.visited.append_virtual(
                 {
                     "files": src_delta_files,
@@ -959,6 +966,9 @@ class CrawlEngine:
                     "constants": [["wave_visited", "int", wave],
                                   ["status", "string", "done"]],
                     "minus_files": minus_files,
+                    # referenced-table schema: lets the read skip footer
+                    # inference (tables._read_virtual)
+                    "src_schema": fr_cur["schema"] if fr_cur else None,
                 },
                 {"wave": wave, "rows": n_selected - n_skip,
                  "kind": "visited_ref"},

@@ -207,7 +207,15 @@ class SnapshotTable:
     ) -> tuple[list[str], str]:
         ddir = os.path.join(self.root, "data", f"snap-{uuid.uuid4().hex}")
         out = df.coalesce(target_partitions) if target_partitions else df
-        out.write.mode("overwrite").parquet(ddir)
+        # label the write's Spark jobs with the table name (thread-local,
+        # so concurrent per-table commit threads each tag their own) —
+        # profile/UI job rows then attribute commit time per table
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"append:{os.path.basename(self.root)}")
+        try:
+            out.write.mode("overwrite").parquet(ddir)
+        finally:
+            sc.setJobDescription(None)
         files = [
             os.path.join(ddir, f)
             for f in os.listdir(ddir)
@@ -281,12 +289,13 @@ class SnapshotTable:
         """Read only the datafiles a specific append introduced — a
         lineage-free handle on that snapshot's delta."""
         files = manifest.get("delta_files") or manifest["files"]
-        if not files:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(manifest["schema"]))
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
             return _empty_df(spark, schema)
-        return spark.read.parquet(*files)
+        # explicit schema — skip the footer-inference job (_read_manifest)
+        return spark.read.schema(schema).parquet(*files)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         files, schema_json = self._write_datafiles(df)
@@ -324,12 +333,19 @@ class SnapshotTable:
     def _read_virtual(self, spark: SparkSession, spec: dict,
                       schema) -> DataFrame:
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
-        d = spark.read.parquet(*spec["files"]).select(*spec["select"])
+        # "src_schema" (schema JSON of the REFERENCED table's files) skips
+        # footer inference, like the physical read paths; specs written
+        # before the field existed fall back to inference
+        rd = spark.read
+        if spec.get("src_schema"):
+            rd = rd.schema(StructType.fromJson(json.loads(spec["src_schema"])))
+        d = rd.parquet(*spec["files"]).select(*spec["select"])
         if spec.get("minus_files"):
-            minus = spark.read.parquet(*spec["minus_files"]).select(
-                *spec["select"]
-            )
+            minus = spark.read.schema(d.schema).parquet(
+                *spec["minus_files"]
+            ).select(*spec["select"])
             d = d.join(F.broadcast(minus), spec["select"], "left_anti")
         for name, sql_type, value in spec.get("constants", []):
             d = d.withColumn(name, F.lit(value).cast(sql_type))
@@ -348,7 +364,12 @@ class SnapshotTable:
             raise ValueError(f"table {self.root} has no snapshots yet")
         schema = StructType.fromJson(json.loads(m["schema"]))
         if m["files"]:
-            out = spark.read.parquet(*m["files"])
+            # explicit schema: schema INFERENCE on a multi-file read runs
+            # a footer-reading Spark job at plan-construction time — a
+            # blocking ~0.5-1s driver stall at the head of every crawl
+            # wave once the table holds many deltas. The manifest is the
+            # schema authority; pass it.
+            out = spark.read.schema(schema).parquet(*m["files"])
         else:
             out = _empty_df(spark, schema)
         for spec in virtual:

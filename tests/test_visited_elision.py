@@ -268,3 +268,53 @@ def test_pin_scan_splits_sets_and_run_restores_confs(spark, tmp_path):
             spark.conf.set(k, v)
     eng.run(corpus, single_url="https://host0.example/p/0")
     assert [spark.conf.get(k, None) for k in keys] == before
+
+
+def test_frontier_delta_files_balanced_under_prefix_discovery(
+    spark, tmp_path, monkeypatch
+):
+    """Delta-file BALANCE regression pin: new links concentrate in a
+    PREFIX of the discovering wave's rank stride (in the synthetic tree
+    only parents with pid*branching < corpus emit children), so any
+    src_rank->bucket guess leaves tail buckets empty — at 8 cores the
+    steady delta once landed in 4 files and the next wave's pinned
+    one-split-per-file scan ran at half parallelism. The frontier append
+    now repartitions by wrank*k/n_new (exact, distribution-free): every
+    multi-file delta must have near-equal file sizes and the planned file
+    count."""
+    import crawler_to_md_spark.crawl.engine as eng_mod
+    from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
+
+    # shrink rows-per-file so the ~3k-row wave-3 delta spans multiple
+    # files at test scale (production: 50k rows/file)
+    real_npart = eng_mod._npart
+    monkeypatch.setattr(
+        eng_mod, "_npart",
+        lambda n, rows_per_file=500, cap=32: real_npart(n, 500, cap),
+    )
+    _npart = eng_mod._npart
+    root = str(tmp_path / "store")
+    # branching 30 over 4000 pages: wave 3 discovers ~3.8k links from
+    # only the first ~130 of its 930 parents — the prefix-concentrated
+    # shape that emptied tail buckets
+    eng = CrawlEngine(
+        spark, root,
+        CrawlConfig(use_bloom=True,
+                    fetch_df_fn=synth_fetch_df_fn(4000, 4, 30)),
+    )
+    eng.run(None, single_url="https://host0.example/p/0")
+
+    wcap = spark.sparkContext.defaultParallelism
+    checked = 0
+    for s in eng.frontier.snapshots():
+        files = s.get("delta_files")
+        rows = int(s["summary"].get("rows", 0))
+        if not files or rows < 100:
+            continue
+        k = _npart(rows, cap=wcap)
+        assert len(files) == k, (rows, k, files)
+        if len(files) > 1:
+            sizes = [os.path.getsize(f) for f in files]
+            assert max(sizes) <= 2 * min(sizes), sizes
+            checked += 1
+    assert checked >= 1  # at least one multi-file delta was exercised
