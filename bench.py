@@ -807,6 +807,15 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "build is one JVM aggregation, and unconstrained waves commit",
         "visited BY REFERENCE to the prior frontier delta (zero physical",
         "rows) — the former visited append re-wrote every selected row.",
+        "Round 4 (late): frontier delta files are rebalanced by ACTUAL",
+        "rank at the append (the pre-agg bucket guess left tail buckets",
+        "empty under prefix-concentrated discovery — half the files, half",
+        "the next wave's map parallelism), big waves hash-repartition",
+        "pending on url_hash before the fetch/scrape map stage, every",
+        "table read passes the manifest schema (parquet inference ran a",
+        "blocking footer job per wave), and the bench crawls with",
+        "dedup_pre_shuffle (L2-resident agg maps; single-JVM-only — see",
+        "CrawlConfig). Together: steady 8-core wave 24.9s -> 11.5s.",
         "Per-stage executor metrics for each level's steady wave are in",
         "the rounds file (steady_stage_profile) plus the scrape UDF's",
         "accumulated Python seconds (steady_phases.scrape_udf_py_s).",
