@@ -776,7 +776,10 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "ratio is the engine's scaling with the weather term minimized;",
         "one session inside a multi-hour storm never sees the real",
         "machine, the all-time fold does. Best-round shown alongside;",
-        f"every round's raw pair and phase profile: {rounds_path}.",
+        "a ratio ABOVE 1.0 is a red flag, not a result: it means that",
+        "round's N-level run was itself contention-slowed (the clean",
+        "gates exclude such rounds from the headline median).",
+        f"Every round's raw pair and phase profile: {rounds_path}.",
         f"Clean rounds this run: {cs['clean_rounds']}/{cs['rounds_total']}"
         + (" — NO clean window found; median falls back to all rounds"
            if cs["clean_rounds"] == 0 else ""),
