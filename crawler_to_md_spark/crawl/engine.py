@@ -788,19 +788,22 @@ class CrawlEngine:
             self.spark.sparkContext.setJobDescription(
                 f"wave{wave}:materialize+rank"
             )
-            ranked, n_new, pinned = with_global_rank(
-                new_links, ["okey"], "wrank",
-                start=0, bucket_col=bucket,
-                # perfect contiguous bucket->partition placement: equal
-                # rank partitions -> equal frontier delta FILES -> the next
-                # wave's scan splits one-per-file and its dominant stage
-                # runs core-balanced (rank.py docstring; raw bucket hashing
-                # gave the fullest partition ~1.5-2x the mean and the high
-                # parallelism level inherited it as a per-wave straggler)
-                num_buckets=(nb if bucket is not None else None),
-            )
+            try:
+                ranked, n_new, pinned = with_global_rank(
+                    new_links, ["okey"], "wrank",
+                    start=0, bucket_col=bucket,
+                    # perfect contiguous bucket->partition placement: equal
+                    # rank partitions -> equal frontier delta FILES -> the
+                    # next wave's scan splits one-per-file and its dominant
+                    # stage runs core-balanced (rank.py docstring; raw
+                    # bucket hashing gave the fullest partition ~1.5-2x the
+                    # mean and the high parallelism level inherited it as a
+                    # per-wave straggler)
+                    num_buckets=(nb if bucket is not None else None),
+                )
+            finally:
+                self.spark.sparkContext.setJobDescription(None)
             wave_caches.append(pinned)
-            self.spark.sparkContext.setJobDescription(None)
             tick("dedup_rank")
 
         if cfg.seed_list_mode:
@@ -882,7 +885,11 @@ class CrawlEngine:
                     .drop("_fkey", "_wrank")
                 )
             else:
-                out = new_frontier.drop("_wrank")
+                # k==1 must still coalesce: the rank cache inherits the
+                # wave's shuffle partitioning, so without it a small delta
+                # lands one file per non-empty partition, breaking _npart's
+                # small-files contract (len(delta_files) == k)
+                out = new_frontier.drop("_wrank").coalesce(1)
             results["frontier"] = self.frontier.append(
                 out, {"wave": wave, "max_rank": base + n_new - 1},
             )

@@ -229,6 +229,7 @@ def hamming_neardup_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 3,
     bands: int | None = None,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """All pairs with hamming(hash) <= max_hamming over an int64 hash
     column — the shared blocking engine behind simhash and phash near-dup.
@@ -238,15 +239,30 @@ def hamming_neardup_pairs(
     guarantees full recall while the self-join only meets rows sharing a
     band key (never quadratic). Verification is ``bit_count(xor)`` —
     pure JVM codegen, no UDF. Returns (id_a, id_b, hamming), id_a<id_b.
+
+    Skew guards (the 100 TB degenerate-family problem — every empty/
+    boilerplate doc votes the SAME simhash, every black thumbnail the
+    same phash):
+    - exact-equal fingerprints collapse BEFORE banding: the banded
+      self-join sees one row per DISTINCT fingerprint, so a 10^6-doc
+      duplicate family contributes 1 banded row, not 10^6. Within-family
+      pairs (hamming 0) come from a family-restricted equi-join instead.
+    - ``max_bucket`` count-filters (band, key) buckets holding more than
+      that many DISTINCT fingerprints (mirrors minhash_lsh_pairs) —
+      beyond it a band key is a degenerate bit pattern, not signal.
+    The pair OUTPUT is still inherently quadratic in family size; the
+    linear-output scale consumer is ``hamming_neardup_clusters``.
     """
     if bands is None:
         bands = max_hamming + 1
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
-    fp = fp.select(
+    ids = fp.select(
         F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
     ).persist()
-    banded = fp.select(
-        "id", "h",
+    # one row per DISTINCT fingerprint (exact-dup short-circuit)
+    fam = ids.groupBy("h").agg(F.count("*").alias("_cnt")).persist()
+    banded = fam.select(
+        "h",
         F.posexplode(
             F.array(*[
                 F.shiftrightunsigned(F.col("h"), s)
@@ -255,20 +271,91 @@ def hamming_neardup_pairs(
             ])
         ).alias("band", "key"),
     )
-    a = banded.select("band", "key", F.col("id").alias("id_a"),
-                      F.col("h").alias("h_a"))
-    b = banded.select("band", "key", F.col("id").alias("id_b"),
-                      F.col("h").alias("h_b"))
-    # fp stays MARKED persisted (lazy plan, two scans) — see
+    sizes = banded.groupBy("band", "key").count()
+    banded = banded.join(
+        sizes.filter(F.col("count") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+    a = banded.select("band", "key", F.col("h").alias("h_a"))
+    b = banded.select("band", "key", F.col("h").alias("h_b"))
+    # cross-family fingerprint pairs (canonical h_a < h_b; equal-h pairs
+    # are the within-family path below)
+    hpairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("h_a") < F.col("h_b"))
+        .dropDuplicates(["h_a", "h_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # expand fingerprint pairs back to id pairs (output-sized joins)
+    cross = (
+        hpairs.join(ids.select(F.col("h").alias("h_a"),
+                               F.col("id").alias("_ida")), "h_a")
+        .join(ids.select(F.col("h").alias("h_b"),
+                         F.col("id").alias("_idb")), "h_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-family pairs: equi-join restricted to families with >1 member
+    multi = ids.join(fam.filter(F.col("_cnt") > 1).select("h"), "h")
+    within = (
+        multi.select("h", F.col("id").alias("id_a"))
+        .join(multi.select("h", F.col("id").alias("id_b")), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+        )
+    )
+    # ids/fam stay MARKED persisted (lazy plan, multiple scans) — see
     # minhash_lsh_pairs for why an eager unpersist would recompute
     # upstream UDFs
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return cross.unionByName(within)
+
+
+def hamming_neardup_clusters(
+    fp: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket: int = 100_000,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, cluster_id, cluster_size) for EVERY input row — the
+    linear-output consumer for hamming near-dup at scale (VERDICT r4).
+
+    Exact-equal fingerprints collapse into families first (a groupBy, not
+    pairs), the banded engine + connected components run over family
+    REPRESENTATIVES only, and members join back by fingerprint — so a
+    degenerate duplicate family of n docs costs O(n) rows end-to-end
+    where the pair API emits O(n^2). Singleton docs appear with
+    cluster_size 1 (callers dedup with ``id != cluster_id``)."""
+    from .cluster import connected_components
+
+    ids = fp.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    ).persist()
+    fam = ids.groupBy("h").agg(F.min("id").alias("rep")).persist()
+    # rep-level near-dup pairs: one node per distinct fingerprint
+    rep_pairs = hamming_neardup_pairs(
+        fam.select(F.col("rep").alias("id"), "h"),
+        "id", "h", max_hamming, bands, max_bucket,
+    )
+    cc = connected_components(rep_pairs, max_iterations=max_iterations)
+    rep_clusters = (
+        fam.join(cc.withColumnRenamed("id", "rep"), "rep", "left")
+        .select("h", F.coalesce("component", "rep").alias("cluster_id"))
+    )
+    assign = ids.join(rep_clusters, "h").select("id", "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return assign.select(
+        "id", "cluster_id", F.count("*").over(w).alias("cluster_size")
     )
 
 
@@ -355,12 +442,21 @@ def embedding_neardup_pairs(
     num_planes: int = 12,
     seed: int = 13,
     dim: int | None = None,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Cosine near-dups via random-hyperplane LSH blocking + exact verify.
 
     Sign sketch: bit i = sign(v . r_i) for seeded gaussian planes r_i.
     Pairs agreeing on the full sketch are verified with exact cosine
     (F.aggregate dot product, JVM-side). P(collision) = (1 - theta/pi)^k.
+
+    Skew guards mirror ``hamming_neardup_pairs`` (VERDICT r4): byte-equal
+    vectors (zero vectors, boilerplate embeddings) collapse into families
+    before the bucket self-join — one representative per DISTINCT vector
+    enters a bucket — and ``max_bucket`` count-filters buckets holding
+    more than that many distinct vectors. Within-family pairs are a
+    family-restricted equi-join computing the SAME cosine expression
+    (so zero-norm families still yield NaN and drop, as before).
     """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -374,27 +470,82 @@ def embedding_neardup_pairs(
         vals = (bits * (1 << np.arange(num_planes))).sum(axis=1)
         return pd.Series(vals.astype(np.int64))
 
-    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+    ids = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).persist()
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
                               lambda acc, x: acc + x * x))
-    sk = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm.alias("n"),
-        sketch(F.col(vec_col)).alias("bucket"),
+    # one row per DISTINCT vector; rep = min id names the family
+    fam = (
+        ids.groupBy("v")
+        .agg(F.min("id").alias("rep"), F.count("*").alias("_cnt"))
+        .select(
+            "v", "rep", "_cnt",
+            norm.alias("n"),
+            sketch(F.col("v")).alias("bucket"),
+        )
+        .persist()
     )
-    a = sk.select(F.col("bucket"), F.col("id").alias("id_a"),
-                  F.col("v").alias("v_a"), F.col("n").alias("n_a"))
-    b = sk.select(F.col("bucket"), F.col("id").alias("id_b"),
-                  F.col("v").alias("v_b"), F.col("n").alias("n_b"))
+    sizes = fam.groupBy("bucket").count()
+    capped = fam.join(
+        sizes.filter(F.col("count") <= max_bucket).select("bucket"), "bucket"
+    )
+    a = capped.select("bucket", F.col("rep").alias("rep_a"),
+                      F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = capped.select("bucket", F.col("rep").alias("rep_b"),
+                      F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    return (
+    # cross-family pairs over representatives, then expand to member ids
+    vpairs = (
         a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
+        .withColumn(
+            "cosine", F.try_divide(dot, F.col("n_a") * F.col("n_b"))
+        )
         .filter(F.col("cosine") >= threshold)
+        .select("rep_a", "rep_b", "cosine")
+    )
+    members = ids.join(fam.select("v", "rep"), "v").select("id", "rep")
+    cross = (
+        vpairs.join(members.select(F.col("rep").alias("rep_a"),
+                                   F.col("id").alias("_ida")), "rep_a")
+        .join(members.select(F.col("rep").alias("rep_b"),
+                             F.col("id").alias("_idb")), "rep_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "cosine",
+        )
+    )
+    # within-family pairs: identical vectors, same cosine expression
+    # (v.v / n^2 — 1.0 up to fp rounding; try_divide gives NULL for
+    # zero vectors under ANSI, so zero-norm families drop)
+    fcos = F.try_divide(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+        F.col("n") * F.col("n"),
+    )
+    fams_ok = (
+        fam.filter(F.col("_cnt") > 1)
+        .withColumn("cosine", fcos)
+        .filter(F.col("cosine") >= threshold)
+        .select("rep", "cosine")
+    )
+    within = (
+        members.join(fams_ok, "rep")
+        .select("rep", F.col("id").alias("id_a"), "cosine")
+        .join(members.select("rep", F.col("id").alias("id_b")), "rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+    # ids/fam stay MARKED persisted (lazy plan, multiple scans)
+    return (
+        cross.unionByName(within)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -211,11 +211,13 @@ class SnapshotTable:
         # so concurrent per-table commit threads each tag their own) —
         # profile/UI job rows then attribute commit time per table
         sc = df.sparkSession.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription(f"append:{os.path.basename(self.root)}")
         try:
             out.write.mode("overwrite").parquet(ddir)
         finally:
-            sc.setJobDescription(None)
+            # restore (not clear) — an outer label on this thread survives
+            sc.setJobDescription(prev)
         files = [
             os.path.join(ddir, f)
             for f in os.listdir(ddir)

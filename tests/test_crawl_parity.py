@@ -223,6 +223,35 @@ def test_per_source_new_links_parity(spark, tmp_path):
     assert got == sim.new_per_source
 
 
+def test_frontier_delta_file_count_matches_npart(spark, tmp_path):
+    """Every frontier wave delta must land with exactly _npart(rows) files
+    (small-files contract). In particular a k==1 delta whose rank cache
+    inherits a MULTI-partition shuffle must still coalesce to ONE file —
+    the k>1 branch repartitions explicitly, so only the k==1 branch can
+    leak the cache's partitioning (ADVICE r4, engine.py k==1 branch)."""
+    from crawler_to_md_spark.crawl.engine import _npart
+
+    eng, _ = run_both(
+        spark, tmp_path, n_pages=120,
+        single_url="https://host0.example/p/0",
+        sim_kwargs={"seed_list_mode": False},
+    )
+    saw_multi_row_delta = False
+    for man in eng.frontier.snapshots():
+        rows = man["summary"].get("rows")
+        if not man.get("delta_files") or rows is None:
+            continue
+        # test scale: rows << 50k so _npart == 1 for every wave delta
+        assert len(man["delta_files"]) == _npart(
+            rows, cap=spark.sparkContext.defaultParallelism
+        ), man["summary"]
+        if rows > spark.sparkContext.defaultParallelism:
+            saw_multi_row_delta = True
+    # the scenario must actually exercise a delta with more rows than
+    # partitions (i.e. one that COULD have landed multi-file)
+    assert saw_multi_row_delta
+
+
 def test_needs_repartition_for_map_threshold():
     """The pending-rows shuffle before a per-row-fetch map stage only pays
     for itself when the frontier delta's file count would halve the map

@@ -235,3 +235,84 @@ def test_phash_pairs_planted_duplicates(spark):
     for (a, b), hd in got.items():
         exact = bin(vals[a] ^ vals[b]).count("1")
         assert exact == hd <= 6
+
+
+def test_hamming_degenerate_family_clusters_linear(spark):
+    """VERDICT r4 #3: 10^3 identical fingerprints (the boilerplate-doc
+    family) must cost LINEAR output through the cluster consumer — one
+    cluster row per member — and the banded engine must see one node per
+    DISTINCT fingerprint (the rep-pair edge set is family-sized, not
+    member-sized)."""
+    from crawler_to_md_spark.operators.dedup import (
+        hamming_neardup_clusters,
+        hamming_neardup_pairs,
+    )
+
+    n = 1000
+    fam_h = 0x0123456789ABCDEF
+    rows = [(i, fam_h) for i in range(n)]
+    rows.append((n, fam_h ^ 0b11))        # near-dup of the family (ham 2)
+    rows.append((n + 1, -0x7EADBEEF0000))  # unrelated
+    df = spark.createDataFrame(rows, "id long, h long")
+
+    out = hamming_neardup_clusters(df, "id", "h", max_hamming=3).collect()
+    assert len(out) == n + 2                      # linear: one row per doc
+    by_id = {r["id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    # the family + its near-dup form ONE cluster labeled by min id
+    assert by_id[0] == (0, n + 1)
+    assert by_id[n] == (0, n + 1)
+    assert by_id[n - 1] == (0, n + 1)
+    assert by_id[n + 1] == (n + 1, 1)             # singleton keeps itself
+
+    # the pair API's cross-family candidate set is rep-level: the family
+    # contributes ONE banded row, so even max_bucket=1 (every multi-
+    # fingerprint bucket dropped) keeps the within-family hamming-0 pairs
+    small = spark.createDataFrame(rows[:6] + rows[-1:], "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            small, "id", "h", max_hamming=3, max_bucket=1
+        ).collect()
+    }
+    want = {(a, b): 0 for a in range(6) for b in range(a + 1, 6)}
+    assert got == want
+
+
+def test_hamming_max_bucket_drops_degenerate_band_keys(spark):
+    """Distinct fingerprints that flood one (band, key) bucket past
+    max_bucket are dropped from candidate generation (skew cap), while
+    the default cap keeps them."""
+    from crawler_to_md_spark.operators.dedup import hamming_neardup_pairs
+
+    # 8 DISTINCT fps differing only in the top bits: bands 0..2 (16-bit
+    # slices of the low 48 bits) all key to 0, so those buckets hold 8
+    # distinct fingerprints each
+    rows = [(i, (i + 1) << 48) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    uncapped = hamming_neardup_pairs(df, "id", "h", max_hamming=3).collect()
+    assert len(uncapped) > 0
+    capped = hamming_neardup_pairs(
+        df, "id", "h", max_hamming=3, max_bucket=2
+    ).collect()
+    # every bucket (incl. the top-bits band: keys 1..8, all singletons)
+    # either exceeds the cap or holds one fp -> no candidates survive
+    assert capped == []
+
+
+def test_embedding_degenerate_family_and_zero_vectors(spark):
+    """Identical embeddings collapse into a family before the bucket
+    self-join (pairs still emitted, cosine 1.0) and all-zero vectors
+    never pair (NaN cosine), matching the unguarded plan's output."""
+    from crawler_to_md_spark.operators.dedup import embedding_neardup_pairs
+
+    base = [1.0, 0.0, 2.0, 0.5]
+    rows = [(i, base) for i in range(40)]          # one 40-member family
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])]
+    rows += [(200, [-1.0, 0.3, 0.0, 0.1])]         # unrelated singleton
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    want = {(a, b): 1.0 for a in range(40) for b in range(a + 1, 40)}
+    assert got == want
