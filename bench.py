@@ -318,7 +318,11 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     from pyspark.sql import functions as F
 
     from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
-    from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from crawler_to_md_spark.crawl.engine import (
+        CrawlConfig,
+        CrawlEngine,
+        resolve_dedup_pre_shuffle,
+    )
     from crawler_to_md_spark.operators.seen import anti_join_new, new_seen_set
     from crawler_to_md_spark.session import get_spark
 
@@ -341,19 +345,23 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # two fetch modes is pinned by test_fetch_df_fn_matches_corpus_join.
     # CRAWL_BRANCHING keeps the wave count low so throughput reflects
     # steady-state work, not wave-barrier overhead.
-    # dedup_pre_shuffle ON for the bench: this box is single-JVM, so the
-    # exploded-stream shuffle is a memory copy and the win is L2-resident
-    # post-shuffle agg maps (measured: steady wave 22.7s -> 16.7s at 8
-    # pinned cores, map-pass JVM CPU 95s -> 64s). The ENGINE default
-    # stays False — on a multi-node cluster the map-side partial agg cuts
-    # shuffle volume ~branching-fold (126M exploded rows -> ~1M distinct
-    # at the steady wave), which dominates once the shuffle crosses a
-    # network (CrawlConfig docstring).
+    # dedup_pre_shuffle: engine AUTO (local master -> pre-shuffle ON:
+    # single-JVM, the exploded-stream shuffle is a memory copy and the
+    # win is L2-resident post-shuffle agg maps — measured steady wave
+    # 22.7s -> 16.7s at 8 pinned cores, map-pass JVM CPU 95s -> 64s; see
+    # resolve_dedup_pre_shuffle). SPARK_GRAFT_BENCH_PRESHUFFLE=0/1 still
+    # forces either plan for A/B runs; the EFFECTIVE flag is recorded in
+    # each level's result (ADVICE r4) so cross-round comparisons are
+    # self-describing.
+    _ps_env = os.environ.get("SPARK_GRAFT_BENCH_PRESHUFFLE")
+    pre_shuffle = None if _ps_env is None else _ps_env == "1"
+    effective_pre_shuffle = resolve_dedup_pre_shuffle(
+        pre_shuffle, f"local[{cpus}]")
+
     def cfg_for(pages):
         return CrawlConfig(
             use_bloom=True, profile=True,
-            dedup_pre_shuffle=os.environ.get(
-                "SPARK_GRAFT_BENCH_PRESHUFFLE", "1") == "1",
+            dedup_pre_shuffle=pre_shuffle,
             fetch_df_fn=synth_fetch_df_fn(pages, 64, CRAWL_BRANCHING))
 
     # warmup (untimed): JVM codegen + Python UDF workers + shuffle paths
@@ -423,6 +431,7 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        "dedup_pre_shuffle": effective_pre_shuffle,
         "urls_fetched": fetched,
         "crawl_seconds": round(crawl_s, 2),
         "urls_per_sec": round(fetched / crawl_s, 1),
@@ -512,6 +521,66 @@ def _save_historical_minima(lo: dict, hi: dict) -> None:
     with open(os.path.join(_BENCH_DIR, "minima.json"), "w") as f:
         json.dump({"key": _workload_key(), "low": lo, "high": hi,
                    "last_rev": rev}, f, indent=1)
+
+
+def _load_clean_history() -> list[dict]:
+    """All-time CLEAN rounds from previous bench sessions on this machine
+    (BENCH/clean_rounds.json, append-only; keyed by workload like
+    minima.json). This is the statistic one stormy driver window cannot
+    erase: r3 and r4 both produced builder-attested clean sessions whose
+    evidence lived only in an overwritten rounds_latest.json / git
+    history (VERDICT r4 #1) — now every session's clean rounds accumulate
+    here and the parsed summary reports their median."""
+    path = os.path.join(_BENCH_DIR, "clean_rounds.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("key") != _workload_key():
+            return []
+        return list(d.get("rounds", []))
+    except (OSError, ValueError):
+        return []
+
+
+def _append_clean_history(new_rounds: list[dict]) -> list[dict]:
+    """Append this session's clean rounds (efficiency fields + stamp) and
+    return the full history."""
+    hist = _load_clean_history()
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    rev = None
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        pass
+    for r in new_rounds:
+        hist.append({
+            "ts": ts, "rev": rev,
+            "efficiency": r["efficiency"],
+            "steady_efficiency": r["steady_efficiency"],
+            "dedup_efficiency": r["dedup_efficiency"],
+            "hw_compute_ratio_low_to_high":
+                r.get("hw_compute_ratio_low_to_high"),
+        })
+    os.makedirs(_BENCH_DIR, exist_ok=True)
+    with open(os.path.join(_BENCH_DIR, "clean_rounds.json"), "w") as f:
+        json.dump({"key": _workload_key(), "rounds": hist}, f, indent=1)
+    return hist
+
+
+def _udf_share(run: dict) -> float | None:
+    """Fraction of the steady wave's core-seconds spent inside the scrape
+    pandas-UDF's Python (accumulator-measured). VERDICT r4 #8: reported
+    per level so shrinking fixed costs can't silently hide a Python
+    scaling limiter."""
+    py_s = (run.get("steady_phases") or {}).get("scrape_udf_py_s")
+    wave_s = run.get("steady_wave_seconds")
+    if py_s is None or not wave_s:
+        return None
+    return round(py_s / (run["cpus"] * wave_s), 4)
 
 
 def _run_crawl_subprocess(cpus: int, max_timeout_s: float | None = None,
@@ -783,6 +852,15 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         f"Clean rounds this run: {cs['clean_rounds']}/{cs['rounds_total']}"
         + (" — NO clean window found; median falls back to all rounds"
            if cs["clean_rounds"] == 0 else ""),
+        f"All-time clean rounds (BENCH/clean_rounds.json, append-only):"
+        f" {cs.get('clean_rounds_alltime', 0)}; their medians —",
+        f"e2e {cs.get('efficiency_clean_alltime')}, steady"
+        f" {cs.get('steady_efficiency_clean_alltime')}, dedup"
+        f" {cs.get('dedup_efficiency_clean_alltime')}. This is the",
+        "best-evidence efficiency statistic: clean windows are rare on",
+        "this shared host, and a stormy session's own rounds cannot",
+        "erase prior sessions' clean evidence (sessions also archive to",
+        "timestamped BENCH/rounds_*.json instead of overwriting).",
         "",
         f"The N vs 4N pair is {ln} vs {hn}, each subprocess CPU-PINNED",
         "(taskset) to exactly its core count: unpinned, local[N] is N",
@@ -816,9 +894,11 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "the next wave's map parallelism), big waves hash-repartition",
         "pending on url_hash before the fetch/scrape map stage, every",
         "table read passes the manifest schema (parquet inference ran a",
-        "blocking footer job per wave), and the bench crawls with",
-        "dedup_pre_shuffle (L2-resident agg maps; single-JVM-only — see",
-        "CrawlConfig). Together: steady 8-core wave 24.9s -> 11.5s.",
+        "blocking footer job per wave), and the crawl runs with",
+        "dedup_pre_shuffle (L2-resident agg maps; auto-selected for",
+        "local masters since round 5 — resolve_dedup_pre_shuffle; the",
+        "effective flag is recorded per level). Together: steady 8-core",
+        "wave 24.9s -> 11.5s.",
         "Per-stage executor metrics for each level's steady wave are in",
         "the rounds file (steady_stage_profile) plus the scrape UDF's",
         "accumulated Python seconds (steady_phases.scrape_udf_py_s).",
@@ -933,8 +1013,16 @@ def main() -> None:
             if remaining < 300:  # no room for sleep + a full round pair
                 break
             time.sleep(min(retry_sleep, max(0.0, remaining - 300)))
-        elif n > 0 and remaining < 60:
-            break  # budget gone mid-base-rounds; keep what we have
+        elif n > 0:
+            if remaining < 60:
+                break  # budget gone mid-base-rounds; keep what we have
+            # spread BASE rounds too when the last pair ran dirty
+            # (provisional telemetry flag): storms last minutes — r3/r4
+            # ran their base rounds back-to-back inside one storm and
+            # delivered clean_rounds=0 (VERDICT r4 #1c). Only sleep when
+            # enough budget remains for the pause plus a full pair.
+            if not round_effs[-1]["clean"] and remaining > 600:
+                time.sleep(min(retry_sleep, remaining - 600))
         # cap each subprocess by the remaining wall budget (+ slop when
         # nothing succeeded yet — a degraded artifact beats an empty one,
         # but one storm-stuck subprocess must not eat the whole window)
@@ -979,6 +1067,15 @@ def main() -> None:
     clean = [r for r in round_effs if r["clean"]]
     gate_pool = _gate_pool(round_effs, "clean")
     best = max(round_effs, key=lambda r: r["steady_efficiency"])
+    # fold this session's clean rounds into the persistent archive and
+    # compute the all-time clean medians — the best-evidence statistic,
+    # carried in the driver artifact even when ITS window is a storm
+    clean_hist = (_append_clean_history(clean) if clean
+                  else _load_clean_history())
+
+    def clean_med(key: str) -> float | None:
+        vals = [r[key] for r in clean_hist if r.get(key) is not None]
+        return round(statistics.median(vals), 3) if vals else None
 
     def med(key: str) -> float:
         return round(statistics.median(r[key] for r in gate_pool), 3)
@@ -1037,12 +1134,18 @@ def main() -> None:
             "levels": BENCH_LEVELS,
             # phase/stage profiles stay in the side file: the stdout line
             # must remain small enough for the driver's capture window
-            "low": {k: v for k, v in lo.items()
-                    if k not in ("steady_phases", "steady_stage_profile",
-                                 "steady_job_profile")},
-            "high": {k: v for k, v in hi.items()
-                     if k not in ("steady_phases", "steady_stage_profile",
-                                  "steady_job_profile")},
+            "low": {
+                **{k: v for k, v in lo.items()
+                   if k not in ("steady_phases", "steady_stage_profile",
+                                "steady_job_profile")},
+                "udf_share": _udf_share(lo),
+            },
+            "high": {
+                **{k: v for k, v in hi.items()
+                   if k not in ("steady_phases", "steady_stage_profile",
+                                "steady_job_profile")},
+                "udf_share": _udf_share(hi),
+            },
             # headline = median over clean rounds (the gate statistic);
             # *_best = most favorable round, for continuity with r1/r2
             "efficiency": eff,
@@ -1066,26 +1169,39 @@ def main() -> None:
             "efficiency_memnorm": memnorm(eff),
             "clean_rounds": len(clean),
             "rounds_total": len(round_effs),
+            # all-time clean-round medians (BENCH/clean_rounds.json):
+            # survive stormy sessions — non-null whenever ANY session on
+            # this machine produced a clean round (VERDICT r4 #1b)
+            "clean_rounds_alltime": len(clean_hist),
+            "efficiency_clean_alltime": clean_med("efficiency"),
+            "steady_efficiency_clean_alltime":
+                clean_med("steady_efficiency"),
+            "dedup_efficiency_clean_alltime":
+                clean_med("dedup_efficiency"),
         },
     }
-    # full detail -> side file (keeps the stdout line driver-parseable)
+    # full detail -> side files (keeps the stdout line driver-parseable).
+    # Each session gets its OWN timestamped file — the 13:04 r4 driver
+    # run overwrote rounds_latest.json and destroyed the 11:54 clean
+    # session's record (VERDICT r4 #1a); rounds_latest.json stays as a
+    # copy of the newest session for continuity.
     os.makedirs(_BENCH_DIR, exist_ok=True)
-    rounds_path = os.path.join(_BENCH_DIR, "rounds_latest.json")
-    with open(rounds_path, "w") as f:
-        json.dump(
-            {
-                "levels": BENCH_LEVELS,
-                "clean_hw_ratio_threshold": CLEAN_HW_RATIO,
-                "rounds": round_effs,
-                "per_round_runs": [
-                    {"low": li, "high": hj}
-                    for li, hj in zip(lo_runs, hi_runs)
-                ],
-                "query_passes": query_passes,
-            },
-            f, indent=1,
-        )
-    _write_baseline_md(result, "BENCH/rounds_latest.json")
+    session_name = time.strftime("rounds_%Y%m%dT%H%M%SZ.json", time.gmtime())
+    detail = {
+        "session_file": session_name,
+        "levels": BENCH_LEVELS,
+        "clean_hw_ratio_threshold": CLEAN_HW_RATIO,
+        "rounds": round_effs,
+        "per_round_runs": [
+            {"low": li, "high": hj}
+            for li, hj in zip(lo_runs, hi_runs)
+        ],
+        "query_passes": query_passes,
+    }
+    for fname in (session_name, "rounds_latest.json"):
+        with open(os.path.join(_BENCH_DIR, fname), "w") as f:
+            json.dump(detail, f, indent=1)
+    _write_baseline_md(result, f"BENCH/{session_name}")
     print(json.dumps(result))
 
 

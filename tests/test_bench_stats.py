@@ -217,3 +217,47 @@ def test_json_subprocess_never_raises():
     out = bench._run_json_subprocess(
         [py, "-c", "print('noise'); print('{\"ok\": 1}')"], 10, "t")
     assert out == {"ok": 1}
+
+
+def test_udf_share_per_level():
+    run = _run(8, 10.0, 10.0, 10.0, 100.0)
+    run["steady_phases"]["scrape_udf_py_s"] = 8.0
+    # 8 python-seconds over 8 cores x 10 s wave = 10% of core-seconds
+    assert bench._udf_share(run) == 0.1
+    run["steady_phases"].pop("scrape_udf_py_s")
+    assert bench._udf_share(run) is None  # legacy runs: unknown, not 0
+
+
+def test_clean_history_append_and_workload_key_guard(tmp_path, monkeypatch):
+    """Clean rounds accumulate across sessions (append, never overwrite)
+    and a workload-parameter change discards history — the same contract
+    minima.json has (VERDICT r4 #1: one stormy driver window must not
+    erase prior clean-session evidence)."""
+    monkeypatch.setattr(bench, "_BENCH_DIR", str(tmp_path))
+    assert bench._load_clean_history() == []
+    r1 = {"efficiency": 0.67, "steady_efficiency": 0.78,
+          "dedup_efficiency": 0.8, "hw_compute_ratio_low_to_high": 3.7}
+    hist = bench._append_clean_history([r1])
+    assert len(hist) == 1 and hist[0]["steady_efficiency"] == 0.78
+    r2 = {"efficiency": 0.7, "steady_efficiency": 0.82,
+          "dedup_efficiency": 0.85, "hw_compute_ratio_low_to_high": 3.9}
+    hist = bench._append_clean_history([r2])
+    assert [h["steady_efficiency"] for h in hist] == [0.78, 0.82]
+    assert len(bench._load_clean_history()) == 2
+    # workload change -> history keyed out
+    monkeypatch.setattr(bench, "CRAWL_PAGES", bench.CRAWL_PAGES + 1)
+    assert bench._load_clean_history() == []
+
+
+def test_resolve_dedup_pre_shuffle_auto():
+    """AUTO (None) follows the master URL; explicit settings win
+    (VERDICT r4 #6)."""
+    from crawler_to_md_spark.crawl.engine import resolve_dedup_pre_shuffle
+
+    for master in ("local", "local[2]", "local[*]", "local-cluster[2,1,1024]"):
+        assert resolve_dedup_pre_shuffle(None, master) is True
+    for master in ("yarn", "spark://h:7077", "k8s://https://h", "mesos://h",
+                   None, ""):
+        assert resolve_dedup_pre_shuffle(None, master) is False
+    assert resolve_dedup_pre_shuffle(False, "local[8]") is False
+    assert resolve_dedup_pre_shuffle(True, "yarn") is True
