@@ -1081,6 +1081,58 @@ SELECT doc_id, cluster_id,
 FROM lab
 """
 
+
+def _phash_fp_cte(recursive: bool = False) -> str:
+    """VALUES CTE of the pinned (image_id, phash) planted-duplicate table
+    (crawler_to_md_spark/_phash_fixture.py, generated by
+    tools/gen_phash_literals.py from the REAL synthesis + phash path).
+    The Spark side of the phash queries recomputes phash end-to-end from
+    synthesized image bytes, so matching the oracle built over these
+    literals value-checks the decode-derived hash AND the banded join —
+    a synthesizer/phash/banding change flips the driver row red."""
+    from ._phash_fixture import PHASH_ROWS
+
+    vals = ",\n    ".join(
+        f"('{iid}', CAST({ph} AS BIGINT))" for iid, ph in PHASH_ROWS
+    )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} fp(image_id, phash) AS (VALUES\n    {vals}\n)\n"
+
+
+def _phash_pairs_sql() -> str:
+    return _phash_fp_cte() + """
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
+def _phash_clusters_sql() -> str:
+    # same recursive-closure shape as _CLUSTER_CTE, over the pinned
+    # image fingerprints (hamming <= 6)
+    return _phash_fp_cte(recursive=True) + """
+, pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM fp a JOIN fp b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), lab AS (
+  SELECT u AS image_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT image_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
 KEEP_CANONICAL_SQL = _CLUSTER_CTE + """
 SELECT d.doc_id, d.source, d.n_chars
 FROM documents d
@@ -1166,8 +1218,12 @@ ORACLES = {
     "hamming_pairs_docs": HAMMING_SQL,
     "neardup_clusters_docs": NEARDUP_CLUSTERS_SQL,
     "dedup_keep_canonical_docs": KEEP_CANONICAL_SQL,
-    # minhash_pairs_docs / simhash_docs / image_* / phash_pairs_images /
-    # phash_clusters_images:
+    # phash family: the oracle brute-forces pairs/closure over the PINNED
+    # (image_id, phash) literals (_phash_fixture.py) while the Spark side
+    # recomputes phash from synthesized bytes end-to-end (VERDICT r4 #4)
+    "phash_pairs_images": _phash_pairs_sql(),
+    "phash_clusters_images": _phash_clusters_sql(),
+    # minhash_pairs_docs / simhash_docs / image_*:
     # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
     # decode) -> rows-only check; correctness covered by pytest oracles
     # instead. simhash_md5_docs / hamming_pairs_docs drive the SAME

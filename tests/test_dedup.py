@@ -316,3 +316,20 @@ def test_embedding_degenerate_family_and_zero_vectors(spark):
     }
     want = {(a, b): 1.0 for a in range(40) for b in range(a + 1, 40)}
     assert got == want
+
+
+def test_phash_fixture_in_sync_with_pipeline(spark):
+    """The pinned (image_id, phash) literals the DuckDB phash oracles
+    brute-force over (_phash_fixture.py) must equal what the REAL
+    synthesis + planted-duplication path produces — otherwise the driver
+    value check silently degrades into literals-vs-literals. Regenerate
+    with tools/gen_phash_literals.py on intentional changes."""
+    from crawler_to_md_spark._phash_fixture import PHASH_ROWS
+    from crawler_to_md_spark.queries import _images_with_planted_dups
+
+    got = sorted(
+        (r["image_id"], int(r["phash"]))
+        for r in _images_with_planted_dups(spark)
+        .select("image_id", "phash").collect()
+    )
+    assert got == sorted(PHASH_ROWS)
