@@ -12,6 +12,7 @@ import shutil
 
 from crawler_to_md_spark.crawl.corpus import synth_corpus
 from crawler_to_md_spark.crawl.engine import CrawlConfig, CrawlEngine
+from crawler_to_md_spark.tables import SnapshotTable
 
 
 def _corpus(spark, n=60):
@@ -207,3 +208,42 @@ def test_resume_inserts_new_seeds(spark, tmp_path):
     again = CrawlEngine(spark, str(tmp_path / "s"), cfg)
     again.run(corpus, seeds=seeds_b, resume=True)
     assert _final_state(again) == (links, pages)
+
+
+def test_resume_store_written_by_round4_format(spark, tmp_path):
+    """Forward pin of TODAY's store format (VERDICT r4 #7): a checked-in
+    round-4 store — commits.jsonl marker log, visited committed BY
+    REFERENCE (virtual manifest deltas), JVM-sketch bloom — must resume
+    under the current code to the same final state as a fresh full crawl.
+    Regenerate with tools/make_fixture_store_r4.py only from a revision
+    that still writes this format."""
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "store_r4")
+    with open(os.path.join(fixture, "fixture_meta.json")) as f:
+        meta = json.load(f)
+    root = str(tmp_path / "store_r4")
+    shutil.copytree(fixture, root)
+    for mpath in glob.glob(os.path.join(root, "*", "_manifests", "*.json")):
+        with open(mpath) as f:
+            txt = f.read()
+        with open(mpath, "w") as f:
+            f.write(txt.replace(meta["root"], root))
+
+    # the fixture must actually exercise the round-4 artifacts
+    assert os.path.exists(os.path.join(root, "commits.jsonl"))
+    visited = SnapshotTable(os.path.join(root, "visited"))
+    assert any("virtual" in m for m in visited.snapshots())
+    with open(os.path.join(root, "bloom", "seen.npz"), "rb") as f:
+        assert f.read(7) == b"JBLOOM1"
+
+    corpus = synth_corpus(spark, n_pages=meta["n_pages"],
+                          n_hosts=meta["n_hosts"],
+                          branching=meta["branching"], seed=meta["seed"])
+    cfg = CrawlConfig(use_bloom=True, bloom_shards=4,
+                      bloom_bits_per_shard=1 << 16)
+    eng = CrawlEngine(spark, root, cfg)
+    assert eng.last_committed_wave() == meta["max_waves"]  # marker log
+    eng.run(corpus, resume=True)
+
+    full = CrawlEngine(spark, str(tmp_path / "full"), cfg)
+    full.run(corpus, single_url="https://host0.example/p/0")
+    assert _final_state(eng) == _final_state(full)
