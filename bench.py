@@ -331,11 +331,20 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     # cores — AQE coalesces them back down for small waves. Sizing them to
     # the core count made 8-core runs build 6M-row hash maps per task at
     # 1M-page scale and collapse under GC.
+    # experiment seam: SPARK_GRAFT_BENCH_CONF="k=v;k=v" feeds extra Spark
+    # confs into the crawl session (used for pinned A/B runs of planner
+    # settings — AQE, shuffle partitioning — without code edits)
+    extra = {}
+    for kv in os.environ.get("SPARK_GRAFT_BENCH_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = get_spark(
         f"crawl-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32")
         ),
+        extra_conf=extra or None,
     )
 
     # fetch stage: the column-level synthetic fetcher — response computed

@@ -187,9 +187,13 @@ def main(argv: list[str] | None = None) -> int:
             return
         prog["visited"] += m["selected"]
         prog["total"] += m["new_links"]
+        # the pages parquet commit lags one wave (engine lagged commit):
+        # its exact count is unknown at print time, so progress shows the
+        # selected count (== pages unless rows were gate-skipped)
+        pages = m["selected"] if m["pages"] is None else m["pages"]
         print(
             f"Scraping: {prog['visited']}/{prog['total']} links "
-            f"(wave {m['wave']}: {m['pages']} pages, "
+            f"(wave {m['wave']}: {pages} pages, "
             f"{m['new_links']} new links, {m['seconds']:.1f}s)",
             file=sys.stderr,
         )

@@ -262,6 +262,13 @@ class CrawlEngine:
         # committed as a virtual reference to exactly these files
         self._fast_next_files: list[str] | None = None
         self._metrics_buf: list[tuple] = []
+        # lagged pages commit (run() loop only): the previous wave's pages
+        # append + marker + cache release, drained at the next wave's
+        # commit stage so the wave's most expensive write overlaps the
+        # next wave's compute instead of sitting in the barrier
+        self._lag: dict | None = None
+        self._lag_enabled = False
+        self._commit_pool: ThreadPoolExecutor | None = None
         # optional Spark accumulator: the scrape UDF adds its Python batch
         # seconds here (bench sub-profiling of the wave's one hot pass)
         self.scrape_time_acc = None
@@ -448,6 +455,29 @@ class CrawlEngine:
             f.write(json.dumps({"wave": wave}) + "\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _drain_lag(self) -> None:
+        """Complete the previous wave's lagged commits (pages append and,
+        on elide waves, the visited-by-ref commit chained on it): wait
+        for the futures, write the wave's marker, patch the pages count
+        (pages footers) into the wave's metric dict and buffered metrics
+        row, and release the wave's caches. A failed commit re-raises
+        here and leaves no marker — recovery replays the lagged wave,
+        exactly as if its barrier had failed in place."""
+        lag, self._lag = self._lag, None
+        if lag is None:
+            return
+        try:
+            for fut in lag["futs"]:
+                fut.result()
+            self._mark_committed(lag["wave"])
+            n_pages = int(lag["results"]["pages"]["summary"]["rows"])
+            lag["m"]["pages"] = n_pages
+            w, sel, _, nnew, dt = self._metrics_buf[lag["buf_idx"]]
+            self._metrics_buf[lag["buf_idx"]] = (w, sel, n_pages, nnew, dt)
+        finally:
+            for df in lag["caches"]:
+                df.unpersist()
 
     def last_committed_wave(self) -> int:
         if os.path.exists(self._commit_log):
@@ -851,6 +881,16 @@ class CrawlEngine:
         # written after ALL of them land (recovery discards any partial
         # set), so they run CONCURRENTLY from driver threads — the wave
         # barrier costs max(commit) wall time instead of sum(commit).
+        # LAGGED PAGES COMMIT (run() loop only): nothing the next wave
+        # computes reads the pages table — its pending set comes from the
+        # frontier delta (fast path) or frontier-anti-visited — so the
+        # pages append (the most expensive commit: a full parquet encode
+        # of the wave's markdown) detaches from this wave's barrier and
+        # drains at the NEXT wave's commit stage, overlapped with its
+        # rank compute. The marker (and the wave's cache release) lag
+        # with it, preserving the recovery contract: a crash before the
+        # drain simply replays this wave from the previous marker.
+        self._drain_lag()
         new_pages = scraped.select(
             "url_hash", "url", "host", "discovery_rank",
             F.col("_s.content").alias("content"),
@@ -978,10 +1018,11 @@ class CrawlEngine:
             # the selected set IS the previous frontier delta, so the
             # visited commit is a manifest-level REFERENCE to those files
             # (module docstring). Gate-passed count falls out of the pages
-            # append's parquet footers — waiting on the pages future costs
-            # nothing extra (the wave barrier is max over all commits) and
-            # needs ZERO jobs; only the (rare) gate-skipped subset, known
-            # by subtraction, pays a physical append.
+            # append's parquet footers — so this commit chains on the
+            # pages future and LAGS with it (the next wave's fast path
+            # never reads visited; constrained runs never take this
+            # branch); only the (rare) gate-skipped subset, known by
+            # subtraction, pays a physical append.
             t = time.time()
             pages_fut.result()
             n_gate = int(results["pages"]["summary"]["rows"])
@@ -1015,26 +1056,52 @@ class CrawlEngine:
             )
             phases["visited_append"] = round(time.time() - t, 3)
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        # run()'s per-run pool keeps the lagged pages future alive across
+        # waves; direct run_wave() callers (streaming) get a local pool
+        # and the classic fully-blocking barrier
+        pool = self._commit_pool
+        own_pool = pool is None
+        if own_pool:
+            pool = ThreadPoolExecutor(max_workers=5)
+        # lag ONLY when the next wave is guaranteed not to read the
+        # pages/visited tables: unconstrained discovery waves hand the
+        # frontier delta over directly (fast path) or terminate on
+        # n_new==0 with zero reads. Seed-list and constrained waves
+        # derive the next pending set from frontier ANTI visited, so
+        # their commits must stay in the barrier.
+        lag_pages = (self._lag_enabled and not own_pool
+                     and not cfg.seed_list_mode and not constrained)
+        try:
             pages_fut = pool.submit(_commit_pages)
-            futs = [pages_fut]
+            lag_futs = [pages_fut]
+            futs = []
             if elide_visited:
-                futs.append(pool.submit(_commit_visited_by_ref, pages_fut))
+                # chains on pages (footer count) -> lags with it
+                lag_futs.append(
+                    pool.submit(_commit_visited_by_ref, pages_fut))
             else:
                 futs.append(pool.submit(_commit_visited))
             if discovered:
                 futs.append(pool.submit(_commit_frontier))
                 if self.bloom is not None:
                     futs.append(pool.submit(_commit_bloom))
+            if not lag_pages:
+                futs.extend(lag_futs)
             for fut in futs:
                 fut.result()  # re-raises: a failed commit leaves no marker
-        self._mark_committed(wave)
+        finally:
+            if own_pool:
+                pool.shutdown(wait=True)
         tick("commit_wall")
         if (self.bloom is not None and discovered
                 and getattr(self.bloom, "needs_grow", lambda: False)()):
             self._grow_bloom()
             tick("bloom_grow")
-        n_pages = int(results["pages"]["summary"]["rows"])
+        if lag_pages:
+            n_pages = None  # known at drain (pages footers)
+        else:
+            self._mark_committed(wave)
+            n_pages = int(results["pages"]["summary"]["rows"])
 
         if not cfg.seed_list_mode:
             if discovered and not constrained:
@@ -1053,7 +1120,8 @@ class CrawlEngine:
 
         dt = time.time() - t0
         m = {
-            "wave": wave, "selected": n_selected, "pages": int(n_pages),
+            "wave": wave, "selected": n_selected,
+            "pages": None if n_pages is None else int(n_pages),
             "new_links": int(n_new), "seconds": dt, "done": False,
         }
         if cfg.profile:
@@ -1072,8 +1140,22 @@ class CrawlEngine:
         # metrics rows are informational (recovery keys off `visited`);
         # buffered driver-side, flushed once per run (flush_metrics)
         self._metrics_buf.append(
-            (wave, n_selected, int(n_pages), int(n_new), float(dt))
+            (wave, n_selected,
+             None if n_pages is None else int(n_pages),
+             int(n_new), float(dt))
         )
+        if lag_pages:
+            # hand the wave's lagged futures + cache entries to the lag
+            # record — run_wave's finally sees an empty cache list;
+            # _drain_lag completes the commits, writes the marker, patches
+            # the pages count into m / the metrics buffer, and releases
+            # the caches
+            self._lag = {
+                "wave": wave, "futs": lag_futs, "caches": list(wave_caches),
+                "results": results, "m": m,
+                "buf_idx": len(self._metrics_buf) - 1,
+            }
+            wave_caches.clear()
         return m
 
     # -------------------------------------------------------------------- run
@@ -1150,6 +1232,13 @@ class CrawlEngine:
             for k in ("spark.sql.files.maxPartitionBytes",
                       "spark.sql.files.openCostInBytes")
         }
+        # per-run commit pool: outlives each wave's barrier so the lagged
+        # pages future survives into the next wave (run_wave docs).
+        # 5 workers = the wave's max in-flight tasks (count, pages,
+        # visited, frontier, bloom): visited WAITS on the count future,
+        # so the pool must never be able to queue count behind the rest
+        self._commit_pool = ThreadPoolExecutor(max_workers=5)
+        self._lag_enabled = True
         try:
             while True:
                 if (self.cfg.max_waves is not None
@@ -1171,11 +1260,17 @@ class CrawlEngine:
                     break
                 wave += 1
         finally:
-            for k, v in split_confs.items():
-                if v is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, v)
+            try:
+                self._drain_lag()  # terminal/failed runs: finish or
+            finally:               # discard the outstanding pages commit
+                self._lag_enabled = False
+                self._commit_pool.shutdown(wait=True)
+                self._commit_pool = None
+                for k, v in split_confs.items():
+                    if v is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, v)
         self.flush_metrics()
         if prepared_corpus is not None:
             prepared_corpus.unpersist()
