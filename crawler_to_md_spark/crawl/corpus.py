@@ -269,26 +269,30 @@ def synth_fetch_df_fn(n_pages: int, n_hosts: int = 64, branching: int = 3):
     real HTTP fetch — instead of the corpus join's O(corpus)-per-wave
     cache scan (a simulation artifact the bench must not measure)."""
 
+    # the response Columns are pure functions of the url — build the tree
+    # ONCE in the closure, not per wave: the html expression alone is a
+    # multi-hundred-node tree whose py4j construction cost (~0.2-0.3s)
+    # rode in EVERY wave's plan_build_py driver phase
+    pid_s = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1)
+    # pid MUST be materialized as a real column first: the html tree
+    # references it ~3*branching times, and inlining the regexp
+    # expression at every reference re-evaluates it per reference
+    # (measured 2.7x slower; CollapseProject keeps multi-referenced
+    # non-cheap aliases as a separate projection)
+    pid_col = F.when(pid_s != "", pid_s.cast("long"))
+    pid = F.col("_fetch_pid")
+    hit = pid.isNotNull() & (pid >= 0) & (pid < n_pages)
+    response_cols = [
+        F.when(hit, F.lit(200)).cast("int").alias("status"),
+        F.when(hit, F.lit("text/html; charset=utf-8")).alias("content_type"),
+        F.when(hit, _distributed_html(pid, n_pages, n_hosts, branching))
+        .alias("html"),
+        *_null_payload(),
+    ]
+
     def fetch(pending: DataFrame) -> DataFrame:
-        pid_s = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1)
-        # pid MUST be materialized as a real column first: the html tree
-        # references it ~3*branching times, and inlining the regexp
-        # expression at every reference re-evaluates it per reference
-        # (measured 2.7x slower; CollapseProject keeps multi-referenced
-        # non-cheap aliases as a separate projection)
-        tmp = pending.withColumn(
-            "_fetch_pid", F.when(pid_s != "", pid_s.cast("long"))
-        )
-        pid = F.col("_fetch_pid")
-        hit = pid.isNotNull() & (pid >= 0) & (pid < n_pages)
-        return tmp.select(
-            *pending.columns,
-            F.when(hit, F.lit(200)).cast("int").alias("status"),
-            F.when(hit, F.lit("text/html; charset=utf-8")).alias("content_type"),
-            F.when(hit, _distributed_html(pid, n_pages, n_hosts, branching))
-            .alias("html"),
-            *_null_payload(),
-        )
+        tmp = pending.withColumn("_fetch_pid", pid_col)
+        return tmp.select(*pending.columns, *response_cols)
 
     return fetch
 

@@ -269,6 +269,11 @@ class CrawlEngine:
         self._lag: dict | None = None
         self._lag_enabled = False
         self._commit_pool: ThreadPoolExecutor | None = None
+        # loop-invariant wave-plan expressions, built once per engine at
+        # first use (_wave_exprs): every F.* call is py4j round trips, and
+        # rebuilding the identical Column tree each wave was ~0.5-0.7s of
+        # the 8-core steady wave's driver time (plan_build_py phase)
+        self._exprs: dict | None = None
         # optional Spark accumulator: the scrape UDF adds its Python batch
         # seconds here (bench sub-profiling of the wave's one hot pass)
         self.scrape_time_acc = None
@@ -455,6 +460,69 @@ class CrawlEngine:
             f.write(json.dumps({"wave": wave}) + "\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _wave_exprs(self) -> dict:
+        """Loop-invariant Column objects / UDF invocations of the wave
+        plan, built ONCE per engine. Column objects are immutable
+        unresolved expressions, safe to reuse across DataFrames and
+        waves; only wave-varying literals (wave number, rank bounds)
+        are constructed per wave."""
+        if self._exprs is not None:
+            return self._exprs
+        cfg = self.cfg
+        scrape = make_scrape_udf(
+            cfg.include_selectors or None,
+            cfg.exclude_selectors or None,
+            extract_links_too=not cfg.seed_list_mode,
+            time_acc=self.scrape_time_acc,
+        )
+        ok = ((F.col("status") == 200)
+              & F.col("content_type").startswith("text/html"))
+        self._exprs = {
+            "scrape_col": scrape(F.col("html"), F.col("url")),
+            "gate": F.when(ok.isNull(), F.lit(False)).otherwise(ok),
+            "explode_sel": [
+                F.col("discovery_rank").alias("src_rank"),
+                F.col("depth").alias("src_depth"),
+                F.posexplode_outer(F.col("_s.links")).alias("pos", "href"),
+            ],
+            "href_not_null": F.col("href").isNotNull(),
+            "link_defrag": defrag(F.col("href")),
+            "valid": valid_link_expr(
+                F.col("link"), cfg.base_url,
+                cfg.include_patterns, cfg.exclude_patterns,
+            ),
+            "link_sel": [
+                url_hash(F.col("link")).alias("url_hash"),
+                F.col("link").alias("url"),
+                ((F.col("src_rank") * _OKEY_POS_SPAN)
+                 + F.least(F.col("pos"),
+                           F.lit(_OKEY_POS_SPAN - 1))).alias("okey"),
+                (F.col("src_depth") + 1).alias("depth"),
+            ],
+            "agg_sel": [
+                F.min("okey").alias("okey"),
+                F.min_by("depth", "okey").alias("depth"),
+            ],
+            "agg_out_sel": [
+                "url_hash", "url",
+                host_of(F.col("url")).alias("host"),
+                "depth",
+                F.shiftright("okey", _OKEY_POS_BITS).alias("src_rank"),
+                F.col("okey").bitwiseAND(_OKEY_POS_SPAN - 1).alias("pos"),
+                "okey",
+            ],
+            "pages_sel": [
+                "url_hash", "url", "host", "discovery_rank",
+                F.col("_s.content").alias("content"),
+                F.create_map(F.lit("title"),
+                             F.col("_s.title")).alias("metadata"),
+                F.col("_s.caption").alias("page_caption"),
+                F.col("_s.image_id").alias("page_image_id"),
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            ],
+        }
+        return self._exprs
 
     def _drain_lag(self) -> None:
         """Complete the previous wave's lagged commits (pages append and,
@@ -707,10 +775,8 @@ class CrawlEngine:
                 .withColumn("phash", F.lit(None).cast("long"))
             )
 
-        ok = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
-        fetched = fetched.withColumn(
-            "_gate", F.when(ok.isNull(), F.lit(False)).otherwise(ok)
-        )
+        ex = self._wave_exprs()
+        fetched = fetched.withColumn("_gate", ex["gate"])
         # HTML never enters a cache: building a columnar cache of the raw
         # pages (~0.4 KB/row compressed + decompression on every read) was
         # the steady wave's single hottest stage, and it is pure memory
@@ -738,15 +804,9 @@ class CrawlEngine:
         # raw html column is dropped before the cache — no consumer reads
         # it (links use _s.links, pages use _s.content), and it would
         # triple the cache's byte volume
-        scrape = make_scrape_udf(
-            cfg.include_selectors or None,
-            cfg.exclude_selectors or None,
-            extract_links_too=not cfg.seed_list_mode,
-            time_acc=self.scrape_time_acc,
-        )
         scraped = (
             fetched.filter(F.col("_gate"))
-            .withColumn("_s", scrape(F.col("html"), F.col("url")))
+            .withColumn("_s", ex["scrape_col"])
             .drop("html")
             .persist()
         )
@@ -761,38 +821,21 @@ class CrawlEngine:
         n_new = 0
         ranked = pinned = None
         if not cfg.seed_list_mode:
+            # (expressions from _wave_exprs; "okey" is the first-write-
+            # wins order key (src_rank, pos) PACKED into one long:
+            # min(long) + min_by(long, long) run as a map-side-combining
+            # HashAggregate, where the previous min(struct(...)) fell
+            # back to SortAggregate — two full sorts of the exploded
+            # candidate stream per wave. Bound: src_rank < 2^43 with pos
+            # capped at 2^20-1; links past the millionth position on ONE
+            # page collapse to the same key — dedup stays exact, only
+            # intra-page discovery order beyond that point is arbitrary.)
             links = (
-                scraped.select(
-                    F.col("discovery_rank").alias("src_rank"),
-                    F.col("depth").alias("src_depth"),
-                    F.posexplode_outer(F.col("_s.links")).alias("pos", "href"),
-                )
-                .filter(F.col("href").isNotNull())
-                .withColumn("link", defrag(F.col("href")))
-                .filter(
-                    valid_link_expr(
-                        F.col("link"), cfg.base_url,
-                        cfg.include_patterns, cfg.exclude_patterns,
-                    )
-                )
-                .select(
-                    url_hash(F.col("link")).alias("url_hash"),
-                    F.col("link").alias("url"),
-                    # first-write-wins order key (src_rank, pos) PACKED
-                    # into one long: min(long) + min_by(long, long) run as
-                    # a map-side-combining HashAggregate, where the
-                    # previous min(struct(...)) fell back to SortAggregate
-                    # — two full sorts of the exploded candidate stream
-                    # (wave_selected x branching rows) per wave. Bound:
-                    # src_rank < 2^43 with pos capped at 2^20-1; links
-                    # past the millionth position on ONE page collapse to
-                    # the same key (dedup stays exact; only intra-page
-                    # discovery order beyond that point is arbitrary).
-                    ((F.col("src_rank") * _OKEY_POS_SPAN)
-                     + F.least(F.col("pos"),
-                               F.lit(_OKEY_POS_SPAN - 1))).alias("okey"),
-                    (F.col("src_depth") + 1).alias("depth"),
-                )
+                scraped.select(*ex["explode_sel"])
+                .filter(ex["href_not_null"])
+                .withColumn("link", ex["link_defrag"])
+                .filter(ex["valid"])
+                .select(*ex["link_sel"])
             )
             if resolve_dedup_pre_shuffle(
                 cfg.dedup_pre_shuffle, self.spark.sparkContext.master
@@ -806,18 +849,8 @@ class CrawlEngine:
                 links = links.repartition(F.col("url_hash"))
             links = (
                 links.groupBy("url_hash", "url")
-                .agg(
-                    F.min("okey").alias("okey"),
-                    F.min_by("depth", "okey").alias("depth"),
-                )
-                .select(
-                    "url_hash", "url",
-                    host_of(F.col("url")).alias("host"),
-                    "depth",
-                    F.shiftright("okey", _OKEY_POS_BITS).alias("src_rank"),
-                    F.col("okey").bitwiseAND(_OKEY_POS_SPAN - 1).alias("pos"),
-                    "okey",
-                )
+                .agg(*ex["agg_sel"])
+                .select(*ex["agg_out_sel"])
             )
             seen = self.frontier.read(self.spark).select("url_hash", "url")
             new_links = anti_join_new(links, seen, bloom=self.bloom,
@@ -846,6 +879,11 @@ class CrawlEngine:
                          * nb / F.lit(span)).cast("int"),
                     ),
                 )
+            # driver-side plan construction cost up to here (py4j round
+            # trips building the fetch/scrape/links/anti-join tree) —
+            # separated from the jobs so the bench can tell Python plan
+            # building from Catalyst+execution inside dedup_rank
+            tick("plan_build_py")
             # label the wave's one materializing action (and every AQE
             # stage job under it) for profile/UI attribution
             self.spark.sparkContext.setJobDescription(
@@ -892,13 +930,7 @@ class CrawlEngine:
         # drain simply replays this wave from the previous marker.
         self._drain_lag()
         new_pages = scraped.select(
-            "url_hash", "url", "host", "discovery_rank",
-            F.col("_s.content").alias("content"),
-            F.create_map(F.lit("title"), F.col("_s.title")).alias("metadata"),
-            F.col("_s.caption").alias("page_caption"),
-            F.col("_s.image_id").alias("page_image_id"),
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            F.lit(wave).alias("wave"),
+            *ex["pages_sel"], F.lit(wave).alias("wave")
         )
         discovered = not cfg.seed_list_mode and n_new > 0
         # rank watermark from manifests — read BEFORE the concurrent
