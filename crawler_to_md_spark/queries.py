@@ -40,6 +40,7 @@ from .operators.cluster import cluster_assignments, keep_canonical
 from .operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
+    hamming_neardup_clusters,
     hamming_neardup_pairs,
     md5_token_hash,
     minhash_lsh_pairs,
@@ -1039,6 +1040,22 @@ def dedup_keep_canonical_docs(spark, sf_dir):
     return kept.select("doc_id", "source", "n_chars")
 
 
+def hamming_clusters_all_docs(spark, sf_dir):
+    """The LINEAR-OUTPUT near-dup consumer at 100 TB scale (VERDICT r4):
+    every document mapped to its transitive near-dup cluster — exact-
+    equal fingerprints collapse into families BEFORE banding (a 10^6-doc
+    boilerplate family costs O(n) rows, never O(n^2) pairs), connected
+    components run over family representatives only, and singletons keep
+    their own id with cluster_size 1. md5 token hash makes the whole
+    pipeline reproducible in the DuckDB oracle (recursive-CTE closure +
+    a singleton union)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
+    return hamming_neardup_clusters(
+        fp, "id", "simhash", max_hamming=8, bands=9
+    ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+
+
 def phash_clusters_images(spark, sf_dir):
     """Image near-dup clusters over the planted-duplicate phash pairs —
     the image-corpus twin of neardup_clusters_docs. Rows-only (phash
@@ -1079,6 +1096,21 @@ NEARDUP_CLUSTERS_SQL = _CLUSTER_CTE + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
+"""
+
+# hamming_clusters_all_docs: the lab closure plus a singleton branch
+# (docs in no pair keep their own id, size 1 — mirroring the family
+# collapse's coalesce(component, rep) for unpaired fingerprints)
+HAMMING_CLUSTERS_ALL_SQL = _CLUSTER_CTE + """
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM (
+  SELECT doc_id, cluster_id FROM lab
+  UNION ALL
+  SELECT d.doc_id, d.doc_id AS cluster_id
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)
 """
 
 
@@ -1184,6 +1216,7 @@ QUERIES = {
     "neardup_clusters_docs": neardup_clusters_docs,
     "dedup_keep_canonical_docs": dedup_keep_canonical_docs,
     "phash_clusters_images": phash_clusters_images,
+    "hamming_clusters_all_docs": hamming_clusters_all_docs,
 }
 
 ORACLES = {
@@ -1223,6 +1256,7 @@ ORACLES = {
     # recomputes phash from synthesized bytes end-to-end (VERDICT r4 #4)
     "phash_pairs_images": _phash_pairs_sql(),
     "phash_clusters_images": _phash_clusters_sql(),
+    "hamming_clusters_all_docs": HAMMING_CLUSTERS_ALL_SQL,
     # minhash_pairs_docs / simhash_docs / image_*:
     # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
     # decode) -> rows-only check; correctness covered by pytest oracles

@@ -86,6 +86,20 @@ AUDITED = {
         "note": "query set broadcast against the corpus scan; "
                 "per-query window rank",
     },
+    "hamming_clusters_all_docs": {
+        # the linear-output consumer (r5): exact-equal fingerprints
+        # collapse via a keyed aggregate BEFORE banding, components run
+        # over family reps (their banding join's bit_count verify sits
+        # behind the components' localCheckpoint lineage cut, so it is
+        # audited under hamming_pairs_docs), members re-attach by
+        # fingerprint, sizes come from a cluster-keyed window — nothing
+        # single-partition or cartesian in the output plan
+        "expect": ["Window", "hashpartitioning(cluster_id"],
+        "forbid": ["SinglePartition", "CartesianProduct"],
+        "note": "family collapse (groupBy h) -> rep-level banding join -> "
+                "large-star/small-star components -> member re-join; "
+                "output linear in input even for degenerate dup families",
+    },
 }
 
 
