@@ -247,3 +247,53 @@ def test_resume_store_written_by_round4_format(spark, tmp_path):
     full = CrawlEngine(spark, str(tmp_path / "full"), cfg)
     full.run(corpus, single_url="https://host0.example/p/0")
     assert _final_state(eng) == _final_state(full)
+
+
+def test_resume_after_crash_in_lag_window(spark, tmp_path):
+    """Round-5 lagged commits open a NEW crash window: the wave's pages/
+    visited appends may have LANDED in table manifests while the marker
+    has not — a process death there must roll the wave back (marker
+    decides, not table state) and a resume must converge to the
+    uninterrupted final state without duplicate pages."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    corpus = _corpus(spark)
+    full = CrawlEngine(spark, str(tmp_path / "full"),
+                       CrawlConfig(use_bloom=False))
+    full.run(corpus, single_url="https://host0.example/p/0")
+
+    root = str(tmp_path / "crash")
+    eng = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+    # emulate run()'s lag-enabled loop for two waves, then "crash" with
+    # the lag outstanding: tables carry wave 2's pages/visited manifests
+    # but its marker was never written
+    eng._commit_pool = ThreadPoolExecutor(max_workers=5)
+    eng._lag_enabled = True
+    try:
+        eng.seed(single_url="https://host0.example/p/0")
+        m1 = eng.run_wave(1, corpus)
+        m2 = eng.run_wave(2, corpus)
+        assert not m1.get("done") and not m2.get("done")
+        lag = eng._lag
+        assert lag is not None and lag["wave"] == 2
+        for fut in lag["futs"]:   # the appends complete (worst case:
+            fut.result()          # all table data landed), marker does NOT
+        for df in lag["caches"]:
+            df.unpersist()
+        eng._lag = None
+    finally:
+        eng._lag_enabled = False
+        eng._commit_pool.shutdown(wait=True)
+        eng._commit_pool = None
+    assert eng.last_committed_wave() == 1  # marker decides
+    # wave 2's pages physically landed ahead of the (missing) marker
+    assert any(s["summary"].get("wave") == 2
+               for s in SnapshotTable(os.path.join(root, "pages")).snapshots())
+
+    resumed = CrawlEngine(spark, root, CrawlConfig(use_bloom=False))
+    resumed.run(corpus, resume=True)
+    assert _final_state(resumed) == _final_state(full)
+    # no duplicate page rows survived the replay
+    pages = resumed.pages_df().collect()
+    urls = [r["url"] for r in pages]
+    assert len(urls) == len(set(urls))
