@@ -601,7 +601,11 @@ def lang_id_eval(spark, sf_dir):
     )
 
 
-def _lang_sql() -> str:
+def _lang_pred_parts() -> tuple[str, str]:
+    """DuckDB marker-score columns (``s_<code>``) and the argmax CASE
+    over them — shared by the lang-ID oracle and the curation oracle.
+    Tie-break is first-in-sorted-code-order, matching operators.textstats
+    .lang_id's greatest-first-match semantics."""
     score_cols = []
     for code, marks in sorted(LANG_MARKERS.items()):
         terms = " + ".join(
@@ -613,10 +617,15 @@ def _lang_sql() -> str:
     case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{c} = {best} THEN '{c}'" for c in codes
     ) + " END"
+    return ", ".join(score_cols), case
+
+
+def _lang_sql() -> str:
+    score_cols, case = _lang_pred_parts()
     return f"""
 SELECT lang, pred, count(*) AS n FROM (
   SELECT lang, {case} AS pred FROM (
-    SELECT lang, {", ".join(score_cols)}
+    SELECT lang, {score_cols}
     FROM (SELECT lang, {_TOKENS_SQL} AS toks FROM documents)
   )
 ) GROUP BY lang, pred
@@ -1056,6 +1065,34 @@ def hamming_clusters_all_docs(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
 
 
+def curate_training_docs(spark, sf_dir):
+    """End-to-end training-data curation in ONE call — the composite a
+    100 TB pipeline actually runs, not three separate passes: language-ID
+    gate (prediction != 'und'), quality gate (>= 5 tokens, composite
+    score >= 0.5), then fuzzy dedup keeping only each near-dup cluster's
+    canonical member (md5-simhash hamming<=8 pairs -> distributed
+    connected components -> anti-join on non-canonical members). The
+    gates are narrow column expressions fused into the pruned document
+    scans (no shuffle before the dedup's banding join); the DuckDB
+    oracle recomputes the whole pipeline, including the recursive-CTE
+    transitive closure, so the driver row value-checks stage composition
+    — a filter/fingerprint/closure change anywhere flips it red."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (
+        quality_features(docs)
+        .withColumn("pred_lang", lang_id(F.col("text")))
+        .filter(
+            (F.col("pred_lang") != "und")
+            & (F.col("n_tokens") >= 5)
+            & (F.col("quality_score") >= 0.5)
+        )
+    )
+    kept = keep_canonical(cand, _md5_hamming_pairs(cand), id_col="doc_id")
+    return kept.select(
+        "doc_id", "source", "pred_lang", "n_tokens", "quality_score"
+    )
+
+
 def phash_clusters_images(spark, sf_dir):
     """Image near-dup clusters over the planted-duplicate phash pairs —
     the image-corpus twin of neardup_clusters_docs. Rows-only (phash
@@ -1111,6 +1148,74 @@ FROM (
   FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
   WHERE l.doc_id IS NULL
 )
+"""
+
+
+def _curate_sql() -> str:
+    """The full curation pipeline in DuckDB: quality features + lang-ID
+    argmax over the document scan, the three gates, then the md5-simhash
+    fingerprint / hamming pairs / recursive-CTE closure over the GATED
+    candidate set only (the Spark side likewise fingerprints only
+    survivors — dedup cost scales with what passes the gates, not the
+    corpus)."""
+    score_cols, case = _lang_pred_parts()
+    return f"""
+WITH RECURSIVE qf AS (
+  SELECT doc_id, source, text,
+         {_NTOK_SQL} AS nt,
+         length(text)::DOUBLE AS nc,
+         {_PUNCT_SQL}::DOUBLE AS np,
+         {_TOKENS_SQL} AS toks
+  FROM documents
+), cand AS (
+  SELECT doc_id, source, text, pred_lang, nt AS n_tokens, quality_score
+  FROM (
+    SELECT doc_id, source, text, nt,
+           CASE WHEN nt = 0 THEN 0.0 ELSE
+             round((least(nt / 20.0, 1.0) +
+                    greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 5)) / 2,
+                   6)
+           END AS quality_score,
+           {case} AS pred_lang
+    FROM (SELECT doc_id, source, text, nt, nc, np, {score_cols} FROM qf)
+  )
+  WHERE pred_lang <> 'und' AND nt >= 5 AND quality_score >= 0.5
+), ctoks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM cand
+), th AS (
+  SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM ctoks
+), votes AS (
+  SELECT doc_id, b.range AS b, sum((h >> b.range) & 1) AS ones,
+         count(*) AS n
+  FROM th, range(60) b GROUP BY doc_id, b.range
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > n
+                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+  FROM votes GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT c.doc_id, c.source, c.pred_lang, c.n_tokens, c.quality_score
+FROM cand c
+LEFT JOIN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id) x
+       ON c.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
 """
 
 
@@ -1217,6 +1322,7 @@ QUERIES = {
     "dedup_keep_canonical_docs": dedup_keep_canonical_docs,
     "phash_clusters_images": phash_clusters_images,
     "hamming_clusters_all_docs": hamming_clusters_all_docs,
+    "curate_training_docs": curate_training_docs,
 }
 
 ORACLES = {
@@ -1257,6 +1363,7 @@ ORACLES = {
     "phash_pairs_images": _phash_pairs_sql(),
     "phash_clusters_images": _phash_clusters_sql(),
     "hamming_clusters_all_docs": HAMMING_CLUSTERS_ALL_SQL,
+    "curate_training_docs": _curate_sql(),
     # minhash_pairs_docs / simhash_docs / image_*:
     # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
     # decode) -> rows-only check; correctness covered by pytest oracles

@@ -78,3 +78,41 @@ def test_winnowing(spark):
             winnowing_fingerprints(df).collect()}
     assert rows[1] == rows[2]
     assert not rows[1] & rows[3]
+
+
+def test_curate_training_docs_planted(spark, tmp_path):
+    """The composite curation pipeline end-to-end on a planted corpus:
+    the language gate drops gibberish, the quality gate drops short and
+    punctuation-soup docs, and the dedup stage keeps only the canonical
+    (min-id) member of a near-identical pair — while a clean unique doc
+    passes all three stages."""
+    from crawler_to_md_spark.queries import curate_training_docs
+
+    good = ("the quick brown fox jumps over the lazy dog and the cat "
+            "sits on the mat with the happy children of the town")
+    near = good + " extra"
+    rows = [
+        (1, "a", good),                              # canonical keeper
+        (2, "a", near),                              # near-dup -> dropped
+        (3, "a", "zzz qqq " * 10),                   # lang 'und' -> dropped
+        (4, "a", "the cat"),                         # < 5 tokens -> dropped
+        (5, "a", "the !!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((("),
+                                                     # punct soup -> dropped
+        (6, "b", "the engineers and the compilers of distributed storage "
+                 "systems measure partition throughput latency shuffle "
+                 "bandwidth memory cache register pipeline vector branch "
+                 "predictor hazard stall queue scheduler quantum"),
+    ]
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
+        "doc_id long, source string, text string",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in curate_training_docs(spark, sf).collect()}
+    assert set(out) == {1, 6}
+    assert out[1]["pred_lang"] == "en"
+    assert out[1]["n_tokens"] >= 5
+    assert out[1]["quality_score"] >= 0.5
