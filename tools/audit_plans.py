@@ -100,6 +100,19 @@ AUDITED = {
                 "large-star/small-star components -> member re-join; "
                 "output linear in input even for degenerate dup families",
     },
+    "curate_training_docs": {
+        # the one-call curation composite (r5): the lang/quality gates
+        # are column expressions fused into pruned document scans (text/
+        # doc_id/source only — never the full row), the dedup stage's
+        # anti-join keys on doc_id, and nothing in the pipeline
+        # serializes to one partition or goes cartesian
+        "expect": ["ReadSchema: struct<doc_id:bigint,text:string,"
+                   "source:string>",
+                   "LeftAnti"],
+        "forbid": ["SinglePartition", "CartesianProduct"],
+        "note": "gates fused into pruned scans; canonical-keep anti-join "
+                "on doc_id; composite stays fully distributed",
+    },
 }
 
 
