@@ -63,8 +63,8 @@ def word_shingles(col, n: int = 3):
 
 def _minhash_udf(num_perm: int, seed: int):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(hashes: pd.Series) -> pd.Series:
@@ -74,9 +74,15 @@ def _minhash_udf(num_perm: int, seed: int):
                 out.append([0] * num_perm)
                 continue
             h = np.asarray(hs, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
-            # (a*h + b) mod p for all perms at once: (P, S) matrix min
+            # (a*h + b) mod p for all perms at once: (P, S) matrix min.
+            # All-uint64 so the product WRAPS mod 2^64 (never promotes to
+            # float64, which a mixed int64 operand would force, rounding
+            # away the low bits); the value is exactly
+            # ((a*h + b) mod 2^64) mod p — reproducible in any engine with
+            # 128-bit ints (DuckDB HUGEINT), which is what lets the md5
+            # twin (queries.py::minhash_md5_docs) value-check this UDF.
             with np.errstate(over="ignore"):
-                m = (a[:, None].astype(np.uint64) * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -90,14 +96,20 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_perm: int = 64,
     seed: int = 7,
+    shingle_hash=None,
 ) -> DataFrame:
-    """(id, shingles, sig: array<long>[num_perm])."""
+    """(id, shingles, sig: array<long>[num_perm]).
+
+    ``shingle_hash``: Column->Column int64 shingle hasher. Default
+    xxhash64 (the scale path); pass ``md5_token_hash`` to get signatures
+    a SQL oracle can reproduce bit-for-bit (same pattern as
+    simhash_fingerprints)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("shingles"),
     )
     hashes = sh.withColumn(
-        "_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        "_h", F.transform(F.col("shingles"), shingle_hash or (lambda s: F.xxhash64(s)))
     )
     return hashes.withColumn("sig", _minhash_udf(num_perm, seed)(F.col("_h"))).drop("_h")
 
@@ -112,6 +124,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 7,
     max_bucket: int = 10_000,
+    shingle_hash=None,
+    band_hash=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -126,13 +140,18 @@ def minhash_lsh_pairs(
     twice, independent of ``bands`` (r1 bench: 15.5s -> this shape).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_perm, seed, shingle_hash
+    ).persist()
+    # band_hash: Column->Column int64 hasher for the joined signature
+    # slice (default xxhash64; md5_token_hash for the SQL-oracle twin)
+    bh = band_hash or (lambda s: F.xxhash64(s))
     banded = sigs.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: bh(
                     F.array_join(
                         F.transform(
                             F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),

@@ -44,6 +44,7 @@ from .operators.dedup import (
     hamming_neardup_pairs,
     md5_token_hash,
     minhash_lsh_pairs,
+    minhash_signatures,
     phash_neardup_pairs,
     simhash_fingerprints,
 )
@@ -933,6 +934,131 @@ def minhash_pairs_docs(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32)
 
 
+# (a, b) rows of RandomState(7).randint for num_perm=16 — the SAME
+# constants _minhash_udf derives, embedded as literals so the DuckDB
+# oracle computes the identical ((a*h + b) mod 2^64) mod p minima (the
+# UDF is all-uint64, so its value is exact integer arithmetic that
+# HUGEINT reproduces; operators/dedup.py::_minhash_udf)
+_MINHASH_AB_16 = [
+    (1407639518939636933, 1630422002828422847),
+    (551904368352831991, 1422685883315097400),
+    (1169693746941186260, 1036818128723030199),
+    (1816361973745530472, 459309668489100400),
+    (1899821249326607546, 1854800229375720637),
+    (710123494352685592, 1385894553171423522),
+    (20668929189138778, 1942495339429673161),
+    (1329108821600893483, 894481085146036774),
+    (340139256470221705, 629557289527310830),
+    (2303675491809990631, 150699654041190231),
+    (1000366761065432497, 431885845465162947),
+    (991310334879981960, 7560552725577555),
+    (109594561920622081, 811901033415426305),
+    (1216310873990163256, 1710988252442831248),
+    (703662130126978055, 1472955763471030175),
+    (638137941648739773, 2135503771371547564),
+]
+
+_MINHASH_PERMS_VALUES = ",\n    ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MINHASH_AB_16)
+)
+
+# shingles -> 60-bit md5 shingle hash -> per-perm min of the carry-exact
+# affine hash; shared by the signature oracle and the LSH-pairs oracle
+_MINHASH_MD5_SIG_CTE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+        FROM documents)
+), hh AS (
+  SELECT doc_id, CAST('0x' || substring(md5(s.s), 1, 15) AS BIGINT) AS h
+  FROM sh, unnest(shingles) AS s(s)
+), perms(perm, a, b) AS (
+  SELECT * FROM (VALUES {_MINHASH_PERMS_VALUES}) v
+), sigrows AS (
+  SELECT hh.doc_id, p.perm,
+         CAST(min(((CAST(p.a AS HUGEINT) * hh.h + p.b)
+                   % 18446744073709551616) % 2305843009213693951)
+              AS BIGINT) AS minhash
+  FROM hh CROSS JOIN perms p
+  GROUP BY hh.doc_id, p.perm
+)
+"""
+
+
+def minhash_md5_docs(spark, sf_dir):
+    """Exploded 16-perm MinHash signatures with the md5-derived 60-bit
+    shingle hash — the oracle-checkable twin of ``minhash_pairs_docs``'s
+    signature stage: xxhash64 has no DuckDB analog but md5 does, so THIS
+    variant drives the exact same numpy pandas-UDF affine-min sketch
+    (operators/dedup.py::_minhash_udf, all-uint64 arithmetic) through the
+    driver's value gate, one (doc, perm) row per signature slot."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, num_perm=16, shingle_hash=md5_token_hash
+    )
+    return sigs.select(
+        F.col("id").alias("doc_id"), F.posexplode("sig")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("perm"),
+        F.col("col").alias("minhash"),
+    )
+
+
+MINHASH_MD5_SQL = _MINHASH_MD5_SIG_CTE + """
+SELECT doc_id, CAST(perm AS INTEGER) AS perm, minhash FROM sigrows
+"""
+
+
+def minhash_md5_pairs_docs(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline (signature -> band -> bucket
+    self-join -> exact-Jaccard verify) with md5 shingle AND band-bucket
+    hashes — the value-checked twin of ``minhash_pairs_docs``: the DuckDB
+    oracle reproduces every stage bit-for-bit (banding included), so a
+    green row checks the banded join's candidate set, the skew-cap
+    semantics, and the verify join, not just final jaccard math."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, threshold=0.5, num_perm=16, bands=4,
+        shingle_hash=md5_token_hash, band_hash=md5_token_hash,
+    )
+
+
+MINHASH_MD5_PAIRS_SQL = _MINHASH_MD5_SIG_CTE + """
+, sigl AS (
+  SELECT doc_id, list(minhash ORDER BY perm) AS sig
+  FROM sigrows GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, CAST(b.range AS INTEGER) AS band,
+         CAST('0x' || substring(md5(
+           array_to_string(
+             list_transform(sig[b.range*4+1 : b.range*4+4],
+                            x -> CAST(x AS VARCHAR)), ',')
+         ), 1, 15) AS BIGINT) AS bucket
+  FROM sigl, range(4) b
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
 def simhash_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
@@ -1314,6 +1440,8 @@ QUERIES = {
     "image_invariants": image_invariants,
     "image_feature_extract": image_feature_extract,
     "minhash_pairs_docs": minhash_pairs_docs,
+    "minhash_md5_docs": minhash_md5_docs,
+    "minhash_md5_pairs_docs": minhash_md5_pairs_docs,
     "simhash_docs": simhash_docs,
     "simhash_md5_docs": simhash_md5_docs,
     "hamming_pairs_docs": hamming_pairs_docs,
@@ -1353,6 +1481,8 @@ ORACLES = {
     "embedding_pairs": EMB_PAIRS_SQL,
     "crawl_pages": CRAWL_PAGES_SQL,
     "crawl_links": CRAWL_LINKS_SQL,
+    "minhash_md5_docs": MINHASH_MD5_SQL,
+    "minhash_md5_pairs_docs": MINHASH_MD5_PAIRS_SQL,
     "simhash_md5_docs": SIMHASH_MD5_SQL,
     "hamming_pairs_docs": HAMMING_SQL,
     "neardup_clusters_docs": NEARDUP_CLUSTERS_SQL,
