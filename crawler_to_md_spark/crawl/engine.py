@@ -319,7 +319,8 @@ class CrawlEngine:
 
         fresh = JvmBloomSeenSet(self.spark, num_bits=1 << 13, growable=True)
         fresh._resize(self.bloom.n_added)
-        fresh.add_distributed(self.frontier.read(self.spark))
+        fresh.add_distributed(self.frontier.read(self.spark),
+                              n_rows=self.bloom.n_added)
         self.bloom = fresh
         self.bloom.save(self._bloom_path)
 
@@ -388,7 +389,7 @@ class CrawlEngine:
         self._mark_committed(0)
         self._fast_next = self.frontier.read_delta(self.spark, manifest)
         if self.bloom is not None:
-            self.bloom.add_distributed(self._fast_next)
+            self.bloom.add_distributed(self._fast_next, n_rows=n_seeds)
             self.bloom.save(self._bloom_path)
         self._fast_next_count = n_seeds
         self._fast_next_lo = 0
@@ -442,7 +443,7 @@ class CrawlEngine:
                 target_partitions=1,
             )
             if self.bloom is not None:
-                self.bloom.add_distributed(new)
+                self.bloom.add_distributed(new, n_rows=n_new)
                 self.bloom.save(self._bloom_path)
         new.unpersist()
         return n_new
@@ -1024,11 +1025,15 @@ class CrawlEngine:
                 fresh._resize(self.bloom.n_added + n_new)
                 fresh.add_distributed(
                     seen.select("url_hash")
-                    .unionByName(pinned.select("url_hash"))
+                    .unionByName(pinned.select("url_hash")),
+                    n_rows=self.bloom.n_added + n_new,
                 )
                 self.bloom = fresh
             else:
-                self.bloom.add_distributed(pinned)
+                # n_new is exact (rank step) -> the delta filter builds
+                # via stat().bloomFilter and merges JVM-side: no blob on
+                # the py4j socket (seen.py::add_distributed)
+                self.bloom.add_distributed(pinned, n_rows=n_new)
             self.bloom.save(self._bloom_path)
             phases["bloom"] = round(time.time() - t, 3)
 

@@ -151,6 +151,61 @@ def test_jvm_bloom_save_load_roundtrip(tmp_path, spark):
     assert hits == 500
 
 
+def test_jvm_bloom_known_count_delta_stays_jvm_side(spark):
+    """add_distributed(n_rows=...) builds the delta via stat().bloomFilter
+    and merges JVM-side — bit-compatible with the agg-built path, no
+    false negatives across the mixed merge, and the exact count is
+    trusted (n_added bookkeeping)."""
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 18)
+    seen_a = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    seen_b = spark.range(3000, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen_a)                 # agg path (count unknown)
+    bloom.add_distributed(seen_b, n_rows=2000)    # stat path (count known)
+    assert bloom.n_added == 5000
+    both = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    hits = both.withColumn(
+        "hit", bloom.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 5000
+    # n_rows=0 is a no-op
+    bloom.add_distributed(seen_a, n_rows=0)
+    assert bloom.n_added == 5000
+
+
+def test_jvm_bloom_known_count_first_delta_resizes_growable(spark):
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 13, growable=True)
+    cap0 = bloom.capacity
+    big = spark.range(0, 4000).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(big, n_rows=4000)
+    assert bloom.capacity >= 4 * 4000 > cap0  # resized before the build
+    hits = big.withColumn(
+        "hit", bloom.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("hit").cast("int")).alias("h")).collect()[0]["h"]
+    assert hits == 4000
+
+
+def test_jvm_bloom_save_writes_blob_jvm_side_and_serialized_reads_file(
+    tmp_path, spark
+):
+    """save() appends the blob from the JVM (no py4j byte[] hop); a
+    post-merge serialized() reads it back from the saved file and the
+    bytes are identical to a direct JVM pull."""
+    bloom = JvmBloomSeenSet(spark, num_bits=1 << 14)
+    seen = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
+    bloom.add_distributed(seen, n_rows=500)   # JVM-side merge: _blob None
+    assert bloom._blob is None
+    p = str(tmp_path / "b" / "seen.npz")
+    bloom.save(p)                             # JVM writes the blob
+    assert bloom._blob is None and bloom._file_blob_valid
+    via_file = bloom.serialized()             # file read, not py4j
+    bloom._blob = None
+    bloom._file_blob_valid = False
+    via_jvm = bloom.serialized()              # direct JVM pull
+    assert via_file == via_jvm
+    loaded = load_seen_set(p, spark)
+    assert loaded.serialized() == via_jvm
+
+
 def test_load_seen_set_reads_legacy_numpy_format(tmp_path, spark):
     """Stores persisted by the numpy impl (rounds <= 3) keep working: the
     loader detects the npz format and returns the numpy probe."""
