@@ -747,9 +747,12 @@ class CrawlEngine:
             # boundary cost dominates) unless the file count would halve
             # map parallelism — see needs_repartition_for_map.
             par = self.spark.sparkContext.defaultParallelism
+            big_min = int(os.environ.get("SPARK_GRAFT_FETCH_REPART_MIN",
+                                         "50000"))
+            fac = int(os.environ.get("SPARK_GRAFT_FETCH_REPART_FACTOR", "1"))
             if (needs_repartition_for_map(fast_nfiles, par)
-                    or n_selected >= 50_000):
-                pending = pending.repartition(par, F.col("url_hash"))
+                    or n_selected >= big_min):
+                pending = pending.repartition(fac * par, F.col("url_hash"))
         if corpus is not None:
             corpus_k = corpus.drop("host").withColumnRenamed("url", "c_url")
             fetched = pending.join(
@@ -846,8 +849,17 @@ class CrawlEngine:
                 # groupBy's ClusteredDistribution (subset of the keys), so
                 # both aggregate passes run inside the post-shuffle stage
                 # over task-local key ranges — see CrawlConfig for the
-                # memory-locality/shuffle-volume tradeoff
-                links = links.repartition(F.col("url_hash"))
+                # memory-locality/shuffle-volume tradeoff. Partition count
+                # = cores, NOT spark.sql.shuffle.partitions: this plan is
+                # local-mode only (resolve_dedup_pre_shuffle), where the
+                # flagged/agg caches downstream inherit this partitioning —
+                # at 32 partitions every post-agg stage of the wave ran 32
+                # near-empty tasks (~6 such jobs/wave, pure scheduling
+                # overhead at both parallelism levels)
+                links = links.repartition(
+                    self.spark.sparkContext.defaultParallelism,
+                    F.col("url_hash"),
+                )
             links = (
                 links.groupBy("url_hash", "url")
                 .agg(*ex["agg_sel"])
@@ -906,6 +918,14 @@ class CrawlEngine:
             finally:
                 self.spark.sparkContext.setJobDescription(None)
             wave_caches.append(pinned)
+            if os.environ.get("SPARK_GRAFT_WAVE_EXPLAIN"):
+                # debug seam: dump the materialized wave plan (the rank
+                # cache's final AQE plan) once per wave to stderr
+                import sys as _sys
+
+                print(f"===== wave {wave} pinned plan =====", file=_sys.stderr)
+                print(pinned._jdf.queryExecution().executedPlan()
+                      .toString(), file=_sys.stderr)
             tick("dedup_rank")
 
         if cfg.seed_list_mode:
