@@ -38,7 +38,16 @@ if have_gate; then
   exit 0
 fi
 
+BUSY=/tmp/spark_graft_busy
 for i in $(seq 1 "$PROBES"); do
+  # builder-side mutex: while the builder runs its own Spark work it
+  # touches $BUSY; skip the probe entirely (a bench fired into that
+  # window would be dirty AND collide with the builder's Spark session)
+  if [ -e "$BUSY" ]; then
+    echo "$(date +%H:%M:%S) probe skipped ($BUSY present)"
+    sleep 240
+    continue
+  fi
   verdict=$(python tools/probe_quiet.py)
   echo "$(date +%H:%M:%S) probe $verdict"
   case "$verdict" in
