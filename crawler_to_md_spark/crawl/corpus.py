@@ -297,29 +297,32 @@ def synth_fetch_df_fn(n_pages: int, n_hosts: int = 64, branching: int = 3):
     return fetch
 
 
-def synth_images_table(
-    spark: SparkSession, n_images: int = 200, seed: int = 42
-) -> DataFrame:
-    """The input_hint table shape (image_id, bytes, w, h, fmt, caption,
-    phash) — FIXTURES.md §2 / BASELINE.json:15."""
+def synth_image_rows(
+    n_images: int = 200, seed: int = 42
+) -> list[tuple]:
+    """Driver-side row synthesis for the input_hint image table —
+    deterministic in (n_images, seed). Shared by ``synth_images_table``
+    (the Spark queries) and tools/gen_phash_literals.py (the pinned
+    oracle fixture), so the literals the DuckDB oracles brute-force over
+    are BY CONSTRUCTION the rows the Spark side computes on."""
     rng = np.random.RandomState(seed)
     rows = []
     for j in range(n_images):
         fmt = ["png", "jpeg", "webp"][j % 3]
         data, w, h, phash = _image(rng, fmt)
         rows.append(
-            dict(
-                image_id=f"img-{j:06d}", bytes=data, w=w, h=h, fmt=fmt,
-                caption=_caption(rng), phash=phash,
-            )
+            (f"img-{j:06d}", data, w, h, fmt, _caption(rng), phash)
         )
-    data = [
-        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"],
-         r["phash"])
-        for r in rows
-    ]
+    return rows
+
+
+def synth_images_table(
+    spark: SparkSession, n_images: int = 200, seed: int = 42
+) -> DataFrame:
+    """The input_hint table shape (image_id, bytes, w, h, fmt, caption,
+    phash) — FIXTURES.md §2 / BASELINE.json:15."""
     return spark.createDataFrame(
-        data,
+        synth_image_rows(n_images, seed),
         schema="image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long",
     )

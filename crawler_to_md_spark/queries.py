@@ -1144,10 +1144,11 @@ def _images_with_planted_dups(spark):
 def phash_pairs_images(spark, sf_dir):
     """Image near-dup by perceptual-hash hamming over the input_hint
     table (phash:int64 computed from decoded pixels at ingest): the
-    canonical image-corpus dedup. Rows-only (phash derives from binary
-    decode — no SQL analog); correctness pinned by
-    tests/test_dedup.py::test_phash_pairs_* (banded == brute force,
-    planted re-encoded copies found)."""
+    canonical image-corpus dedup. Value-checked since round 5: the
+    DuckDB oracle brute-forces hamming over the PINNED fingerprint
+    literals (_phash_fixture.py) while this side recomputes phash from
+    synthesized bytes end-to-end; banding-vs-bruteforce additionally
+    pinned by tests/test_dedup.py::test_phash_pairs_*."""
     return phash_neardup_pairs(_images_with_planted_dups(spark), max_hamming=6)
 
 
@@ -1221,14 +1222,59 @@ def curate_training_docs(spark, sf_dir):
 
 def phash_clusters_images(spark, sf_dir):
     """Image near-dup clusters over the planted-duplicate phash pairs —
-    the image-corpus twin of neardup_clusters_docs. Rows-only (phash
-    derives from binary decode); pinned by
-    tests/test_cluster.py::test_phash_clusters_planted_dups against a
-    union-find reference."""
+    the image-corpus twin of neardup_clusters_docs. Value-checked since
+    round 5 (recursive-CTE closure over the pinned fingerprint literals);
+    also pinned by tests/test_cluster.py::test_phash_clusters_planted_dups
+    against a union-find reference."""
     pairs = phash_neardup_pairs(_images_with_planted_dups(spark), max_hamming=6)
     return cluster_assignments(pairs).select(
         F.col("id").alias("image_id"), "cluster_id", "cluster_size"
     )
+
+
+def _caption_enriched(images: DataFrame) -> DataFrame:
+    """Deterministic language markers appended to a third of the captions
+    each (English / German glue words keyed on the image index): the raw
+    synthesized captions contain no marker tokens, so without this every
+    row would lang-gate to 'und' and the curation composite would be a
+    degenerate filter. The SAME expression runs in the DuckDB oracle over
+    the pinned caption literals."""
+    idx = F.substring("image_id", -6, 6).cast("int")
+    return images.withColumn(
+        "caption",
+        F.concat(
+            F.col("caption"),
+            F.when(idx % 3 == 0, F.lit(" with the of"))
+            .when(idx % 3 == 1, F.lit(" der und mit"))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def curate_image_caption_pairs(spark, sf_dir):
+    """End-to-end image+caption curation over the input_hint table in ONE
+    call — the image-corpus twin of curate_training_docs: caption
+    language gate (lang-ID argmax != 'und') + token floor (>= 7), then
+    fuzzy image dedup keeping only each phash-hamming<=6 cluster's
+    canonical member (banded hamming pairs -> distributed connected
+    components -> anti-join on non-canonical members). Gates are narrow
+    JVM column expressions over the caption; the dedup fingerprint is the
+    stored phash — no decode, no Python in the plan. The DuckDB oracle
+    recomputes the whole pipeline (marker enrichment, tokenization,
+    lang argmax, brute-force hamming, recursive-CTE closure) over the
+    pinned (image_id, phash, caption) literals, so a change to the
+    synthesizer, the caption gates, the phash derivation, or the
+    banding/closure flips the driver row red."""
+    images = _caption_enriched(_images_with_planted_dups(spark))
+    cand = (
+        images.withColumn("pred_lang", lang_id(F.col("caption")))
+        .withColumn("n_tokens", token_count(F.col("caption")))
+        .filter((F.col("pred_lang") != "und") & (F.col("n_tokens") >= 7))
+    )
+    kept = keep_canonical(
+        cand, phash_neardup_pairs(cand, max_hamming=6), id_col="image_id"
+    )
+    return kept.select("image_id", "caption", "pred_lang", "n_tokens")
 
 
 # recursive transitive closure over the SAME pairs the Spark side blocks
@@ -1396,6 +1442,70 @@ SELECT image_id, cluster_id,
 FROM lab
 """
 
+def _image_rows_cte() -> str:
+    """VALUES CTE of the pinned (image_id, phash, caption) rows
+    (_phash_fixture.py; see _phash_fp_cte for the pinning contract)."""
+    from ._phash_fixture import IMAGE_ROWS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n    ".join(
+        f"('{iid}', CAST({ph} AS BIGINT), '{q(cap)}')"
+        for iid, ph, cap in IMAGE_ROWS
+    )
+    return f"WITH RECURSIVE img(image_id, phash, caption0) AS (VALUES\n    {vals}\n)\n"
+
+
+def _curate_images_sql() -> str:
+    """curate_image_caption_pairs in DuckDB: the same deterministic
+    caption-marker enrichment, whitespace tokenization, lang-ID argmax,
+    token floor, brute-force phash hamming pairs over the gated set, and
+    recursive-CTE transitive closure with canonical keep."""
+    score_cols, case = _lang_pred_parts()
+    ntok_cap = _NTOK_SQL.replace("text", "caption")
+    toks_cap = _TOKENS_SQL.replace("text", "caption")
+    return _image_rows_cte() + f"""
+, enr AS (
+  SELECT image_id, phash,
+         caption0 || CASE CAST(right(image_id, 6) AS INT) % 3
+           WHEN 0 THEN ' with the of'
+           WHEN 1 THEN ' der und mit'
+           ELSE '' END AS caption
+  FROM img
+), scored AS (
+  SELECT image_id, phash, caption, {ntok_cap} AS n_tokens, {score_cols}
+  FROM (SELECT image_id, phash, caption, {toks_cap} AS toks FROM enr)
+), cand AS (
+  SELECT image_id, phash, caption, n_tokens, pred_lang FROM (
+    SELECT image_id, phash, caption, n_tokens, {case} AS pred_lang
+    FROM scored
+  )
+  WHERE pred_lang <> 'und' AND n_tokens >= 7
+), pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM cand a JOIN cand b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), lab AS (
+  SELECT u AS image_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT c.image_id, c.caption, c.pred_lang, c.n_tokens
+FROM cand c
+LEFT JOIN (SELECT image_id FROM lab WHERE image_id <> cluster_id) x
+       ON c.image_id = x.image_id
+WHERE x.image_id IS NULL
+"""
+
+
 KEEP_CANONICAL_SQL = _CLUSTER_CTE + """
 SELECT d.doc_id, d.source, d.n_chars
 FROM documents d
@@ -1451,6 +1561,7 @@ QUERIES = {
     "phash_clusters_images": phash_clusters_images,
     "hamming_clusters_all_docs": hamming_clusters_all_docs,
     "curate_training_docs": curate_training_docs,
+    "curate_image_caption_pairs": curate_image_caption_pairs,
 }
 
 ORACLES = {
@@ -1494,6 +1605,7 @@ ORACLES = {
     "phash_clusters_images": _phash_clusters_sql(),
     "hamming_clusters_all_docs": HAMMING_CLUSTERS_ALL_SQL,
     "curate_training_docs": _curate_sql(),
+    "curate_image_caption_pairs": _curate_images_sql(),
     # minhash_pairs_docs / simhash_docs / image_*:
     # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
     # decode) -> rows-only check; correctness covered by pytest oracles

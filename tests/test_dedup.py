@@ -319,17 +319,57 @@ def test_embedding_degenerate_family_and_zero_vectors(spark):
 
 
 def test_phash_fixture_in_sync_with_pipeline(spark):
-    """The pinned (image_id, phash) literals the DuckDB phash oracles
-    brute-force over (_phash_fixture.py) must equal what the REAL
+    """The pinned (image_id, phash, caption) literals the DuckDB image
+    oracles brute-force over (_phash_fixture.py) must equal what the REAL
     synthesis + planted-duplication path produces — otherwise the driver
     value check silently degrades into literals-vs-literals. Regenerate
     with tools/gen_phash_literals.py on intentional changes."""
-    from crawler_to_md_spark._phash_fixture import PHASH_ROWS
+    from crawler_to_md_spark._phash_fixture import IMAGE_ROWS, PHASH_ROWS
     from crawler_to_md_spark.queries import _images_with_planted_dups
 
     got = sorted(
-        (r["image_id"], int(r["phash"]))
+        (r["image_id"], int(r["phash"]), r["caption"])
         for r in _images_with_planted_dups(spark)
-        .select("image_id", "phash").collect()
+        .select("image_id", "phash", "caption").collect()
     )
-    assert got == sorted(PHASH_ROWS)
+    assert got == sorted(IMAGE_ROWS)
+    assert sorted(PHASH_ROWS) == [(i, p) for i, p, _c in got]
+
+
+def test_curate_image_caption_pairs_planted(spark):
+    """The image-curation composite: every surviving row carries a non-
+    'und' language and >= 7 caption tokens; each planted byte-duplicate
+    family (dup-img-X / img-X share phash AND caption, so both pass or
+    both fail the gates) contributes at most its canonical (minimum-id,
+    i.e. the dup- prefixed) member; und-gated rows are gone entirely."""
+    from crawler_to_md_spark.queries import (
+        _caption_enriched,
+        _images_with_planted_dups,
+        curate_image_caption_pairs,
+    )
+
+    kept = curate_image_caption_pairs(spark, sf_dir=None).collect()
+    assert kept, "composite must keep something"
+    ids = {r["image_id"] for r in kept}
+    for r in kept:
+        assert r["pred_lang"] in ("en", "de")
+        assert r["n_tokens"] >= 7
+    # no kept twin pair: dup-img-X and img-X are hamming-0 neighbours,
+    # so at most the canonical (dup- sorts before img-) survives
+    for iid in ids:
+        if iid.startswith("dup-"):
+            assert iid[4:] not in ids
+    # the gates alone (before dedup) keep strictly more rows than the
+    # composite, and every composite survivor passed the gates
+    from pyspark.sql import functions as F
+
+    from crawler_to_md_spark.operators.textstats import lang_id, token_count
+
+    gated = (
+        _caption_enriched(_images_with_planted_dups(spark))
+        .withColumn("pred_lang", lang_id(F.col("caption")))
+        .withColumn("n_tokens", token_count(F.col("caption")))
+        .filter((F.col("pred_lang") != "und") & (F.col("n_tokens") >= 7))
+    )
+    gated_ids = {r["image_id"] for r in gated.select("image_id").collect()}
+    assert ids < gated_ids

@@ -113,6 +113,20 @@ AUDITED = {
         "note": "gates fused into pruned scans; canonical-keep anti-join "
                 "on doc_id; composite stays fully distributed",
     },
+    "curate_image_caption_pairs": {
+        # the image-corpus curation composite (r5): caption gates are JVM
+        # column expressions, the dedup fingerprint is the STORED phash
+        # (no decode anywhere in the plan — the bytes column never enters
+        # it), the phash banding join's bit_count verify sits behind the
+        # components' localCheckpoint cut (audited under
+        # hamming_pairs_docs), and the canonical keep is an anti-join on
+        # image_id — nothing single-partition or cartesian
+        "expect": ["LeftAnti"],
+        "forbid": ["SinglePartition", "CartesianProduct"],
+        "note": "caption lang/token gates as column exprs; stored-phash "
+                "banding dedup (zero decode); canonical-keep anti-join "
+                "on image_id",
+    },
 }
 
 
