@@ -72,10 +72,21 @@ CLEAN_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_STEAL", "10"))
 # contention, the dominant cause of 4N-level slowdowns on this host
 CLEAN_BW_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_BW", "3.0"))
 CLEAN_BW_RATIO_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_BW_MAX", "5.0"))
-# random-access grant band: quiet windows measure ~2.4-2.5x N->4N on
-# this host; storms collapse it to ~1.2 (the contention channel that
-# stalls agg-bound stages while steal/ALU/stream channels stay green)
-# and lo-starvation inflates it — both corrupt the crawl ratio
+# random-access grant gate — ONE-SIDED as of r5. mem_ratio = hi/lo, so
+# the two failure directions are NOT symmetric for a ">= gate" purpose:
+# a BELOW-ideal reading (hi starved, or lo boosted) can only DEFLATE the
+# measured N->4N efficiency — such a round under-reports and is a safe
+# lower-bound witness; an ABOVE-cap reading (lo starved / hi boosted)
+# INFLATES efficiency and stays disqualifying. The original hard lower
+# bound (2.0, calibrated 2026-08-17 on two same-day ~2.4-2.5x windows)
+# was falsified by the data recorded since: in steal-quiet windows
+# (<0.2% steal, hw/bw grants green, runs at session minima) the
+# 1-second gather probe reads anywhere 1.16x-4.28x with no correlation
+# to the measured crawl ratios (sessions 20260819T0603/T1253), and it
+# rejected 100% of otherwise-clean rounds after its introduction —
+# including a steady-0.909 round with every other channel green
+# (rounds_20260819T125326Z.json#0). Below-floor readings are kept as
+# recorded telemetry (mem_ratio_low_to_high + per-round mem_low flag).
 CLEAN_MEM_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_MEM", "2.0"))
 CLEAN_MEM_RATIO_MAX = float(
     os.environ.get("SPARK_GRAFT_BENCH_CLEAN_MEM_MAX", "3.2"))
@@ -708,9 +719,13 @@ def _round_effs(li: dict, hj: dict) -> dict:
         hj.get("mem_mprobes_per_sec", 0.0)
         / max(li.get("mem_mprobes_per_sec", 1e-9), 1e-9), 3)
     # runs predating the random-gather burn carry no mem fields: treat
-    # the channel as unknown-but-not-disqualifying (band check vacuous)
-    mem_ok = (CLEAN_MEM_RATIO <= mem_ratio <= CLEAN_MEM_RATIO_MAX
+    # the channel as unknown-but-not-disqualifying (cap check vacuous).
+    # One-sided (see CLEAN_MEM_RATIO comment): only the efficiency-
+    # INFLATING direction (ratio above cap) disqualifies; a below-floor
+    # reading deflates the measurement and is recorded, not fatal.
+    mem_ok = (mem_ratio <= CLEAN_MEM_RATIO_MAX
               if li.get("mem_mprobes_per_sec") else True)
+    mem_low = bool(li.get("mem_mprobes_per_sec")) and mem_ratio < CLEAN_MEM_RATIO
     return {
         "efficiency": round(hj["urls_per_sec"] / (4 * li["urls_per_sec"]), 3),
         "steady_efficiency": round(
@@ -720,6 +735,9 @@ def _round_effs(li: dict, hj: dict) -> dict:
         "hw_compute_ratio_low_to_high": hw_ratio,
         "bw_ratio_low_to_high": bw_ratio,
         "mem_ratio_low_to_high": mem_ratio,
+        # telemetry: random-access grant read below the quiet-window
+        # ideal — the round's efficiency is a LOWER bound if so
+        "mem_low": mem_low,
         "max_crawl_steal_pct": steal,
         # a clean round needs the host to grant 4N workers the compute
         # (burn), to not steal cycles (/proc/stat), AND to grant the
@@ -836,6 +854,16 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "2-core numbers stay stable across weather while 8-core numbers",
         "collapse 3x with steal < 3% and a full compute grant; a bw ratio",
         "far ABOVE 4x means the N-level probe itself was starved). A",
+        "clean round must ALSO show a random-gather (DRAM-latency)",
+        f"grant <= {CLEAN_MEM_RATIO_MAX}x N->4N — that gate is",
+        "ONE-SIDED: an above-cap reading (lo starved / hi boosted)",
+        "INFLATES the measured efficiency and disqualifies, while a",
+        "below-ideal reading can only DEFLATE it (the round then",
+        "under-reports; it stays clean and carries the mem_low",
+        "telemetry flag — the prior hard floor at"
+        f" {CLEAN_MEM_RATIO}x was falsified by",
+        "steal-quiet sessions where the 1-second probe swung",
+        "1.16x-4.28x uncorrelated with the crawl ratios). A",
         "clean round must ALSO have both its level runs within",
         f"{NEAR_MIN_FRAC}x of the session-minimum crawl time for their",
         "level — runs are the most sensitive storm detector available —",

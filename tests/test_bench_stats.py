@@ -125,22 +125,30 @@ def test_finalize_clean_near_session_min_and_bw_cap():
     assert bench._round_effs(lo_c, hi_c)["clean"] is False
 
 
-def test_round_effs_mem_ratio_band():
-    """r4: the random-gather burn is the contention channel that stalls
-    agg-bound stages while steal/ALU/stream telemetry stays green —
-    a collapsed (storm) or inflated (lo-starved) N->4N random-access
-    grant disqualifies the round; runs predating the burn stay valid."""
+def test_round_effs_mem_ratio_one_sided():
+    """r5: the random-gather gate is ONE-SIDED. mem_ratio = hi/lo, so a
+    below-ideal reading (hi starved / lo boosted) can only DEFLATE the
+    measured efficiency — the round under-reports and stays clean (with
+    the mem_low telemetry flag set); an above-cap reading (lo starved /
+    hi boosted) INFLATES efficiency and still disqualifies. The old hard
+    lower bound was falsified by recorded steal-quiet sessions (probe
+    swings 1.16x-4.28x, uncorrelated with crawl ratios — see the
+    CLEAN_MEM_RATIO comment in bench.py)."""
     lo = _run(2, 80.0, 30.0, 28.0, hw=14.0, steal=0.5)
     hi = _run(8, 25.0, 9.0, 8.0, hw=56.0, steal=0.5)
     lo["mem_mprobes_per_sec"], hi["mem_mprobes_per_sec"] = 180.0, 442.0
-    assert bench._round_effs(lo, hi)["clean"] is True
-    hi["mem_mprobes_per_sec"] = 220.0  # storm: grant collapses to 1.2x
     e = bench._round_effs(lo, hi)
-    assert e["clean"] is False and e["dedup_clean"] is False
+    assert e["clean"] is True and e["mem_low"] is False
+    hi["mem_mprobes_per_sec"] = 220.0  # hi starved: grant reads 1.2x —
+    e = bench._round_effs(lo, hi)     # efficiency deflated: lower-bound
+    assert e["clean"] is True and e["dedup_clean"] is True  # witness
+    assert e["mem_low"] is True       # ...but flagged in telemetry
     hi["mem_mprobes_per_sec"] = 640.0  # lo-starved: ratio inflated 3.6x
-    assert bench._round_effs(lo, hi)["clean"] is False
+    e = bench._round_effs(lo, hi)     # efficiency INFLATED: disqualify
+    assert e["clean"] is False and e["dedup_clean"] is False
     del lo["mem_mprobes_per_sec"], hi["mem_mprobes_per_sec"]
-    assert bench._round_effs(lo, hi)["clean"] is True  # legacy runs
+    e = bench._round_effs(lo, hi)
+    assert e["clean"] is True and e["mem_low"] is False  # legacy runs
 
 
 def test_finalize_clean_absolute_hw_floor():
