@@ -452,6 +452,11 @@ def _crawl_bench(cpus: int, n_pages: int) -> dict:
     return {
         "cpus": cpus,
         "dedup_pre_shuffle": effective_pre_shuffle,
+        # effective agg partition factor (engine default 4 since r5; see
+        # engine.py dedup repartition comment) — recorded so cross-round
+        # comparisons are self-describing, like dedup_pre_shuffle above
+        "dedup_repart_factor": int(
+            os.environ.get("SPARK_GRAFT_DEDUP_REPART_FACTOR", "4")),
         "urls_fetched": fetched,
         "crawl_seconds": round(crawl_s, 2),
         "urls_per_sec": round(fetched / crawl_s, 1),
