@@ -944,6 +944,21 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "local masters since round 5 — resolve_dedup_pre_shuffle; the",
         "effective flag is recorded per level). Together: steady 8-core",
         "wave 24.9s -> 11.5s.",
+        "Round 5: the pages append + visited-by-ref commit chain LAGS",
+        "one wave behind the crawl barrier and drains overlapped with",
+        "the next wave's rank compute (commit_wall 1.9s -> ~0.02s);",
+        "loop-invariant Column trees are hoisted out of the wave loop",
+        "(engine _wave_exprs + the synthetic fetcher's response tree,",
+        "~2,000 py4j round trips per wave -> plan_build_py ~0.4s,",
+        "ticked separately in steady_phases); and the pre-agg dedup",
+        "exchange partitions at dedup_repart_factor x cores (default",
+        "4) so each task's agg hash map shrinks toward cache",
+        "residency on the DRAM-latency-bound stage (pinned 8-core",
+        "A/B: steady wave 12.9s -> 8.9s, 2-core leg flat; factor 8",
+        "regressed — the factor is recorded per level). AQE stays ON:",
+        "the anti-join's inverted-confirm shape needs its runtime",
+        "broadcast; the ~0.4s/wave of re-plan gaps is the price",
+        "(evidence_r5_optimization_path.md).",
         "Per-stage executor metrics for each level's steady wave are in",
         "the rounds file (steady_stage_profile) plus the scrape UDF's",
         "accumulated Python seconds (steady_phases.scrape_udf_py_s).",
