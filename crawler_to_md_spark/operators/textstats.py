@@ -52,22 +52,34 @@ def bpe_ish_piece_count(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """Marker-stopword vote: language with the most marker hits among
     tokens; 'und' (undetermined) when no marker hits at all.
-    Ties break by language code order (deterministic)."""
+    Ties break by language code order (deterministic).
+
+    Argmax is a fold over an array of (score, code) structs so each
+    per-language score expression appears in the plan EXACTLY once: the
+    earlier chained when/otherwise argmax re-embedded every previous
+    score inside the next comparison — ~2^5 copies of the
+    tokenize+array_intersect tree — and the generated Java method blew
+    past Janino's compile limits, silently disabling whole-stage codegen
+    for any stage containing this column (observed on the
+    curate_image_caption_pairs composite)."""
     toks = tokens_of(text)
-    scores = [
-        (code, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))))
+    entries = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in marks]))).alias("s"),
+            F.lit(code).alias("c"),
+        )
         for code, marks in sorted(LANG_MARKERS.items())
-    ]
-    best = None
-    best_code = None
-    for code, s in scores:
-        if best is None:
-            best, best_code = s, F.lit(code)
-        else:
-            cond = s > best
-            best_code = F.when(cond, F.lit(code)).otherwise(best_code)
-            best = F.when(cond, s).otherwise(best)
-    return F.when(best > 0, best_code).otherwise(F.lit("und"))
+    ])
+    # strict > keeps the first language in sorted-code order on ties;
+    # the zero-score init IS the 'und' rule (a language wins only with
+    # at least one marker hit)
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit(0).alias("s"), F.lit("und").alias("c")),
+        lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
+    )
+    return best["c"]
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
