@@ -273,13 +273,33 @@ def synth_fetch_df_fn(n_pages: int, n_hosts: int = 64, branching: int = 3):
     # ONCE in the closure, not per wave: the html expression alone is a
     # multi-hundred-node tree whose py4j construction cost (~0.2-0.3s)
     # rode in EVERY wave's plan_build_py driver phase
-    pid_s = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1)
+    #
+    # pid derivation must be CHEAP, not just computed once: Catalyst's
+    # filter pushdown substitutes the _fetch_pid alias BY ITS DEFINITION
+    # when it folds the engine's scrape gate (status=200 AND text/html)
+    # into a scan-level predicate on the frontier delta — the gate
+    # references pid 6 times, so the pushed filter evaluates the
+    # definition 12x per pending row in the wave's FIRST stage, which
+    # runs at delta-file parallelism. With the previous
+    # regexp_extract(url, '/p/(\d+)$', 1) that filter alone cost
+    # 14.5 JVM-CPU-core-seconds per 1M-URL wave at 8 cores vs 6.3 at 2
+    # (2.3s of an 11.5s wave — a pure hi-leg scaling tax). The
+    # substring_index + try_cast form is ~two orders cheaper per call,
+    # so the 12x inlining is harmless. Semantics vs the regexp: the
+    # tail != url guard rejects URLs with no '/p/' at all, and try_cast
+    # (ANSI rules) rejects trailing garbage; the only divergence is
+    # sign/whitespace forms ('/p/+12', '/p/ 12') which ANSI casts accept
+    # — non-canonical URLs that the corpus-join fetch (URL-equality
+    # join) never matched either, so the parity contract
+    # (test_fetch_df_fn_matches_corpus_join: identical crawl from
+    # canonical seeds) is unaffected.
+    tail = F.substring_index(F.col("url"), "/p/", -1)
     # pid MUST be materialized as a real column first: the html tree
-    # references it ~3*branching times, and inlining the regexp
+    # references it ~3*branching times, and inlining even this cheap
     # expression at every reference re-evaluates it per reference
-    # (measured 2.7x slower; CollapseProject keeps multi-referenced
-    # non-cheap aliases as a separate projection)
-    pid_col = F.when(pid_s != "", pid_s.cast("long"))
+    # (CollapseProject keeps multi-referenced non-trivial aliases as a
+    # separate projection)
+    pid_col = F.when(tail != F.col("url"), tail.try_cast("long"))
     pid = F.col("_fetch_pid")
     hit = pid.isNotNull() & (pid >= 0) & (pid < n_pages)
     response_cols = [
