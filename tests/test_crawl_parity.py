@@ -272,3 +272,44 @@ def test_needs_repartition_for_map_threshold():
     assert needs_repartition_for_map(1, 2)
     assert not needs_repartition_for_map(2, 2)
     assert needs_repartition_for_map(None, 2)
+
+
+def test_synth_fetch_plan_has_no_regexp(spark):
+    """Perf contract (BENCH/evidence_r5_optimization_path.md finding 4):
+    Catalyst folds the engine's scrape gate through the synthetic fetch's
+    projections into a scan-level filter, substituting the _fetch_pid
+    alias BY DEFINITION — 12 copies per pending row in the wave's first
+    stage. The pid derivation must therefore stay cheap (substring_index
+    + try_cast); a regexp here cost 2.3s of an 11.5s 8-core steady wave."""
+    from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
+
+    pending = spark.createDataFrame(
+        [("https://host0.example/p/0",)], ["url"])
+    out = synth_fetch_df_fn(100, 4, 4)(pending)
+    gated = out.filter(
+        (out.status == 200) & out.content_type.startswith("text/html"))
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp" not in plan.lower()
+
+
+def test_synth_fetch_miss_forms(spark):
+    """URL forms outside the synthetic graph must MISS (status null) in
+    the cheap-pid fetch exactly as they did with the regexp derivation:
+    no '/p/' segment, bare digits (tail==url guard), trailing segment
+    after the pid, empty pid, and in-form but out-of-corpus pids."""
+    from crawler_to_md_spark.crawl.corpus import synth_fetch_df_fn
+
+    urls = [
+        ("https://h.example/p/5", True),     # canonical hit
+        ("https://h.example/p/5/x", False),  # trailing segment
+        ("https://h.example/q/5", False),    # no /p/
+        ("5", False),                        # bare digits, no /p/
+        ("https://h.example/p/", False),     # empty pid
+        ("https://h.example/p/99", False),   # pid >= n_pages
+        ("https://h.example/p/5x", False),   # trailing garbage in pid
+    ]
+    pending = spark.createDataFrame([(u,) for u, _ in urls], ["url"])
+    got = {r["url"]: r["status"] for r in
+           synth_fetch_df_fn(50, 4, 4)(pending).collect()}
+    for u, hit in urls:
+        assert (got[u] == 200) == hit, u
