@@ -909,8 +909,9 @@ JOIN cw_words w ON w.wi = c.j % 20
 
 def image_invariants(spark, sf_dir):
     """input_hint table -> per-image invariant report (decode dims, phash
-    of decoded pixels, lossy-round-trip PSNR>=40dB). Binary decode is not
-    SQL-expressible -> rows-only; invariants asserted in
+    of decoded pixels, lossy-round-trip PSNR>=40dB). Value-checked since
+    round 5 against pinned literals of the real codec path
+    (_image_invariants_sql); invariants also asserted in
     tests/test_image_crawl.py and tests/test_multimodal.py."""
     from .crawl.corpus import synth_images_table
     from .operators.multimodal import verify_invariants
@@ -921,7 +922,8 @@ def image_invariants(spark, sf_dir):
 
 def image_feature_extract(spark, sf_dir):
     """Decode + feature-extract over the input_hint table (multimodal
-    mapInPandas plumbing). Rows-only."""
+    mapInPandas plumbing). Value-checked since round 5 against pinned
+    literals of the real codec path (_image_features_sql)."""
     from .crawl.corpus import synth_images_table
     from .operators.multimodal import image_features
 
@@ -1408,6 +1410,44 @@ def _phash_fp_cte(recursive: bool = False) -> str:
     return f"{kw} fp(image_id, phash) AS (VALUES\n    {vals}\n)\n"
 
 
+def _image_invariants_sql() -> str:
+    """image_invariants in DuckDB: the pinned per-image invariant report
+    (_image_fixture.py, generated by tools/gen_image_literals.py from
+    the REAL codec path driver-side). The Spark side decodes synthesized
+    bytes and recomputes every check inside mapInPandas, so matching
+    these literals value-checks the Arrow batch plumbing and the codec
+    end-to-end — a synthesizer/codec/phash change flips the row red."""
+    from ._image_fixture import INVARIANT_ROWS
+
+    vals = ",\n    ".join(
+        f"('{iid}', {str(d).upper()}, {str(fm).upper()}, {str(ph).upper()},"
+        f" CAST({p!r} AS DOUBLE), {str(ok).upper()})"
+        for iid, d, fm, ph, p, ok in INVARIANT_ROWS
+    )
+    return (
+        "SELECT * FROM (VALUES\n    " + vals +
+        "\n) AS t(image_id, dims_ok, fmt_ok, phash_ok, psnr_db, psnr_ok)"
+    )
+
+
+def _image_features_sql() -> str:
+    """image_feature_extract in DuckDB: pinned decode-derived features
+    (same contract as _image_invariants_sql)."""
+    from ._image_fixture import FEATURE_ROWS
+
+    vals = ",\n    ".join(
+        f"('{iid}', {w}, {h}, '{fmt}', CAST({ph} AS BIGINT),"
+        f" CAST({mr!r} AS DOUBLE), CAST({mg!r} AS DOUBLE),"
+        f" CAST({mb!r} AS DOUBLE), CAST({c!r} AS DOUBLE))"
+        for iid, w, h, fmt, ph, mr, mg, mb, c in FEATURE_ROWS
+    )
+    return (
+        "SELECT * FROM (VALUES\n    " + vals +
+        "\n) AS t(image_id, w, h, fmt, phash,"
+        " mean_r, mean_g, mean_b, contrast)"
+    )
+
+
 def _phash_pairs_sql() -> str:
     return _phash_fp_cte() + """
 SELECT a.image_id AS id_a, b.image_id AS id_b,
@@ -1606,10 +1646,14 @@ ORACLES = {
     "hamming_clusters_all_docs": HAMMING_CLUSTERS_ALL_SQL,
     "curate_training_docs": _curate_sql(),
     "curate_image_caption_pairs": _curate_images_sql(),
-    # minhash_pairs_docs / simhash_docs / image_*:
-    # genuinely non-SQL-expressible (xxhash64 sketch UDFs, binary
-    # decode) -> rows-only check; correctness covered by pytest oracles
-    # instead. simhash_md5_docs / hamming_pairs_docs drive the SAME
-    # simhash construction + banding join through a full DuckDB value
-    # check by swapping the token hash to md5.
+    # image decode family: oracled since r5 via pinned literals of the
+    # REAL codec path (tools/gen_image_literals.py) — the Spark side
+    # recomputes everything from bytes inside mapInPandas
+    "image_invariants": _image_invariants_sql(),
+    "image_feature_extract": _image_features_sql(),
+    # minhash_pairs_docs / simhash_docs: genuinely non-SQL-expressible
+    # (xxhash64 sketch UDFs) -> rows-only check; correctness covered by
+    # pytest oracles instead. simhash_md5_docs / hamming_pairs_docs
+    # drive the SAME simhash construction + banding join through a full
+    # DuckDB value check by swapping the token hash to md5.
 }

@@ -51,3 +51,26 @@ def test_frame_sample(spark):
     assert [bytes(r["bytes"])[0] for r in out] == [0, 2, 4, 6]
     # frame_idx keeps the ORIGINAL temporal position, not the sampled index
     assert [r["frame_idx"] for r in out] == [0, 2, 4, 6]
+
+
+def test_image_fixture_in_sync_with_pipeline(spark):
+    """The pinned invariant/feature literals the DuckDB image oracles
+    select (_image_fixture.py) must equal what the REAL Spark queries
+    compute from synthesized bytes inside mapInPandas — otherwise the
+    driver value check silently degrades into literals-vs-literals.
+    Regenerate with tools/gen_image_literals.py on intentional codec or
+    synthesizer changes."""
+    from crawler_to_md_spark._image_fixture import (
+        FEATURE_ROWS,
+        INVARIANT_ROWS,
+    )
+    from crawler_to_md_spark.queries import (
+        image_feature_extract,
+        image_invariants,
+    )
+
+    inv = sorted(tuple(r) for r in image_invariants(spark, None).collect())
+    assert inv == sorted(INVARIANT_ROWS)
+    feat = sorted(tuple(r) for r in
+                  image_feature_extract(spark, None).collect())
+    assert feat == sorted(FEATURE_ROWS)
