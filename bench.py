@@ -965,6 +965,23 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "The steady-state row is the largest wave (the amortized regime),",
         "end-to-end alongside.",
         "",
+        "E2E AMORTIZATION: at this corpus size (1M pages, branching 128)",
+        "the crawl is FOUR waves and the first three select only ~16.5k",
+        "URLs total — their cost is almost entirely the per-WAVE fixed",
+        "floor (Catalyst analysis + ~10 AQE query-stage jobs + the commit",
+        "barrier: measured 1.6-2.9s wall per wave, near-identical at BOTH",
+        "levels; BENCH/evidence_r5_wave_fixed_cost_*.jsonl has the",
+        "per-wave phase breakdown, including a 1-URL wave costing 2.9s).",
+        "That fixed floor is ~30-40% of the 4N level's end-to-end wall",
+        "but only ~10-15% of N's, which is the entire gap between the",
+        "e2e and steady rows. The floor is per-wave, not per-URL: wave",
+        "count grows logarithmically (base=branching) while wave size",
+        "grows geometrically, so at the 10^10-URL frontier the north",
+        "rule targets, the fixed waves are a vanishing fraction and e2e",
+        "converges to the steady-state row — the steady row IS the",
+        "engine's scaling, the e2e row is the steady row plus a",
+        "small-corpus constant.",
+        "",
         "HARDWARE CEILING: the burn test measures the raw N->4N compute",
         "ratio the host actually grants at "
         f"{cs['hw_compute_ratio_low_to_high']}x (ideal 4x), capping any",
