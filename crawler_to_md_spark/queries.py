@@ -932,6 +932,13 @@ def image_feature_extract(spark, sf_dir):
 
 
 def minhash_pairs_docs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs on the scale path (JVM xxhash64
+    shingle + band hashes, 128-perm numpy sketch UDF). Value-checked
+    since round 5: the DuckDB oracle is the PINNED expected pair list
+    (_xxhash_fixture.py) computed by a pure-Python XXH64 + plain-int
+    sketch pipeline independent of Spark (tools/gen_xxhash_literals.py);
+    the md5 twin (minhash_md5_pairs_docs) additionally re-derives every
+    stage inside DuckDB itself."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32)
 
@@ -1062,6 +1069,12 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
 
 
 def simhash_docs(spark, sf_dir):
+    """64-bit simhash fingerprints on the scale path (JVM xxhash64
+    token hash + numpy bit-vote UDF). Value-checked since round 5
+    against the PINNED fingerprints (_xxhash_fixture.py) computed by a
+    pure-Python XXH64 + plain-int vote independent of Spark
+    (tools/gen_xxhash_literals.py); the md5 twin (simhash_md5_docs)
+    additionally re-derives the vote inside DuckDB itself."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
 
@@ -1410,6 +1423,34 @@ def _phash_fp_cte(recursive: bool = False) -> str:
     return f"{kw} fp(image_id, phash) AS (VALUES\n    {vals}\n)\n"
 
 
+def _simhash_xx_sql() -> str:
+    """simhash_docs in DuckDB: the pinned expected fingerprints
+    (_xxhash_fixture.py, generated by tools/gen_xxhash_literals.py with
+    a pure-Python XXH64 + plain-int bit-vote — nothing shared with the
+    JVM hash or the numpy UDF under test)."""
+    from ._xxhash_fixture import SIMHASH_XX_ROWS
+
+    vals = ",\n    ".join(
+        f"({did}, CAST({fp} AS BIGINT))" for did, fp in SIMHASH_XX_ROWS
+    )
+    return ("SELECT * FROM (VALUES\n    " + vals + "\n) AS t(id, simhash)")
+
+
+def _minhash_xx_pairs_sql() -> str:
+    """minhash_pairs_docs in DuckDB: the pinned expected near-dup pairs
+    (same independence contract as _simhash_xx_sql; the full sketch ->
+    band -> bucket-join -> exact-verify pipeline is re-run in pure
+    Python by the generator)."""
+    from ._xxhash_fixture import MINHASH_XX_PAIR_ROWS
+
+    vals = ",\n    ".join(
+        f"({ia}, {ib}, CAST({jac!r} AS DOUBLE))"
+        for ia, ib, jac in MINHASH_XX_PAIR_ROWS
+    )
+    return ("SELECT * FROM (VALUES\n    " + vals +
+            "\n) AS t(id_a, id_b, jaccard)")
+
+
 def _image_invariants_sql() -> str:
     """image_invariants in DuckDB: the pinned per-image invariant report
     (_image_fixture.py, generated by tools/gen_image_literals.py from
@@ -1651,9 +1692,10 @@ ORACLES = {
     # recomputes everything from bytes inside mapInPandas
     "image_invariants": _image_invariants_sql(),
     "image_feature_extract": _image_features_sql(),
-    # minhash_pairs_docs / simhash_docs: genuinely non-SQL-expressible
-    # (xxhash64 sketch UDFs) -> rows-only check; correctness covered by
-    # pytest oracles instead. simhash_md5_docs / hamming_pairs_docs
-    # drive the SAME simhash construction + banding join through a full
-    # DuckDB value check by swapping the token hash to md5.
+    # xxhash sketch family: oracled since r5 via pinned literals from an
+    # independent pure-Python XXH64 sketch pipeline
+    # (tools/gen_xxhash_literals.py); the md5 twins above additionally
+    # re-derive every stage inside DuckDB itself
+    "simhash_docs": _simhash_xx_sql(),
+    "minhash_pairs_docs": _minhash_xx_pairs_sql(),
 }

@@ -373,3 +373,57 @@ def test_curate_image_caption_pairs_planted(spark):
     )
     gated_ids = {r["image_id"] for r in gated.select("image_id").collect()}
     assert ids < gated_ids
+
+
+def test_xxh64_py_matches_spark(spark):
+    """tools/xxh64_py (the pure-Python XXH64 behind the pinned-literal
+    oracles for simhash_docs / minhash_pairs_docs) must equal Spark's
+    JVM xxhash64 on every algorithm branch: empty input, 1-7-byte
+    tails, the 4/8-byte tail steps, 8-31-byte mid path, >=32-byte
+    multi-block path (incl. exact block boundaries), decimal signature
+    strings (the band-hash input shape), and multi-byte UTF-8."""
+    from tools.xxh64_py import xxh64_i64
+
+    probes = (
+        ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+         "abcdefgh", "abcdefghijk", "0123456789abcdef",
+         "0123456789abcdefghijklmnopqrstu",          # 31 B: mid path max
+         "0123456789abcdefghijklmnopqrstuv",         # 32 B: one block
+         "x" * 63, "x" * 64, "x" * 65, "x" * 100,
+         "key agg row scan slow fast table value part hash",
+         "1407639518939636933,163042200282,842,2847",
+         "émojis 🎉 test", "naïve café"]
+    )
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(p,) for p in probes], "s string")
+        .select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for p in probes:
+        assert got[p] == xxh64_i64(p), repr(p)
+
+
+def test_xxhash_fixture_in_sync_with_queries(spark):
+    """The pinned literals the simhash_docs / minhash_pairs_docs DuckDB
+    oracles return (_xxhash_fixture.py, computed by an independent
+    pure-Python sketch pipeline) must equal what the REAL Spark queries
+    produce at the driver's correctness scale — otherwise the value
+    check silently degrades into literals-vs-literals. Regenerate with
+    tools/gen_xxhash_literals.py on intentional sketch changes."""
+    from crawler_to_md_spark._xxhash_fixture import (
+        MINHASH_XX_PAIR_ROWS,
+        SIMHASH_XX_ROWS,
+    )
+    from crawler_to_md_spark.queries import minhash_pairs_docs, simhash_docs
+
+    sf = "/root/testdata/sf0.01"
+    got_sim = sorted(
+        (int(r["id"]), int(r["simhash"]))
+        for r in simhash_docs(spark, sf).collect()
+    )
+    assert got_sim == sorted(SIMHASH_XX_ROWS)
+    got_pairs = sorted(
+        (int(r["id_a"]), int(r["id_b"]), float(r["jaccard"]))
+        for r in minhash_pairs_docs(spark, sf).collect()
+    )
+    assert got_pairs == sorted(MINHASH_XX_PAIR_ROWS)
