@@ -16,6 +16,13 @@
 #     is merely *running*, only one that preempts us)
 #   - 2->8-worker compute ratio >= 3.5 (CLEAN_HW_RATIO) and memory-
 #     bandwidth ratio >= 3.0 (bandwidth contention is invisible to steal)
+#   - random-gather (DRAM-latency) grant: >= PROBE_MEM_FRAC x the
+#     all-time per-level refs at BOTH counts and 2->8 ratio <= 3.2 —
+#     the 00:14 2026-08-20 session passed every other probe (full hw
+#     grants, 0.04% steal, bw in band) while the 2-worker level got
+#     ~35% of its random-access ref, so all 7 bench rounds failed the
+#     mem-ratio clean cap and the session banked nothing
+
 cd /root/repo
 PROBES=${1:-45}
 GATE=${BENCH_QUIET_GATE:-0.8}
