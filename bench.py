@@ -98,6 +98,29 @@ NEAR_MIN_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_NEAR_MIN", "1.2"))
 # _finalize_clean — catches multi-hour LOW-LEVEL starvation that every
 # ratio check is blind to)
 HW_FLOOR_FRAC = float(os.environ.get("SPARK_GRAFT_BENCH_HW_FLOOR", "0.85"))
+# Symmetric-regime exception to the absolute floor. The host runs (at
+# least) two whole-chip compute regimes: "full" (lo ~17-18, hi ~70-71.6
+# Miters/s; observed 2026-08-19T2258 -> 2026-08-20T0106) and "scaled"
+# (lo ~13-14.5, hi ~55-57 — every other session, including both rounds
+# banked clean on 2026-08-19). Once the 0106 turbo session raised the
+# all-time refs to 18.0/71.6, a max-folded per-level floor at 0.85
+# (lo >= 15.3) permanently rejects the scaled regime — 5h of probes on
+# 2026-08-20 failed on hw2 alone with steal ~0%, bw in band, and mem
+# floors green. But the floor's documented purpose is ASYMMETRIC
+# low-level starvation, which corrupts the N->4N ratio; a whole-chip
+# frequency regime scales BOTH levels by the same factor (observed
+# fracs 0.794/0.785 — within 1%), preserving the ratio the gate
+# protects, and the DRAM channel that could re-balance under lower
+# clocks is still independently gated by CLEAN_MEM_RATIO_MAX. So a
+# round whose two levels sit BELOW the full-regime floor passes iff
+# their ref-fractions are (a) both above this deeper floor and (b)
+# within HW_SYM_BAND of each other (min/max of the two fracs). Deep
+# storms (lo 9-12 -> frac 0.5-0.67) and one-sided starvation (fracs
+# 0.56/0.80 -> sym 0.69) still fail. Each round records its fracs and
+# regime tag so the artifact is self-describing.
+HW_SYM_FLOOR_FRAC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_HW_SYM_FLOOR", "0.72"))
+HW_SYM_BAND = float(os.environ.get("SPARK_GRAFT_BENCH_HW_SYM_BAND", "0.90"))
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
 
 _BENCH_DIR = os.environ.get(
@@ -608,6 +631,45 @@ def _udf_share(run: dict) -> float | None:
     return round(py_s / (run["cpus"] * wave_s), 4)
 
 
+def _wait_for_extra_round_window(t0: float, budget_s: float,
+                                 retry_sleep: float) -> bool:
+    """Before burning an EXTRA round pair (~6-8 min of crawl subprocesses),
+    poll a cheap (~15 s) host-weather probe (tools/probe_quiet.probe,
+    fast mode) and sleep through hopeless windows: the dominant storm
+    mode here is multi-minute-to-multi-hour asymmetric DRAM contention,
+    so an unconditional extra round in a lo-mem-starved window is a
+    guaranteed-dirty pair that eats budget a later quiet window could
+    have used. Base rounds still run unconditionally (they feed the
+    per-level minima and the headline throughput columns regardless of
+    weather). Returns False when the budget floor is reached without a
+    promising window (caller breaks), True to proceed — including the
+    legacy single-sleep path when the probe is unavailable or disabled
+    (SPARK_GRAFT_BENCH_PROBE=0). A fast-probe false positive only costs
+    one round pair — the real clean gates judge the round itself."""
+    deadline = t0 + budget_s - 300  # leave room for a full pair
+    if os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "1":
+        time.sleep(min(retry_sleep, max(0.0, deadline - time.time())))
+        return True
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from probe_quiet import probe
+    except Exception:
+        time.sleep(min(retry_sleep, max(0.0, deadline - time.time())))
+        return True
+    poll_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP", "60"))
+    while time.time() < deadline:
+        time.sleep(min(poll_sleep, max(0.0, deadline - time.time())))
+        try:
+            ok, line = probe(fast=True)
+        except Exception:
+            return True  # a broken probe must never stall the bench
+        print(f"extra-round probe: {line}", file=sys.stderr)
+        if ok:
+            return True
+    return False
+
+
 def _run_crawl_subprocess(cpus: int, max_timeout_s: float | None = None,
                           ) -> dict | None:
     """One crawl bench at local[cpus], CPU-PINNED to exactly that many
@@ -804,9 +866,19 @@ def _finalize_clean(round_effs: list, lo_runs: list, hi_runs: list,
     for eff, li, hj in zip(round_effs, lo_runs, hi_runs):
         near = (li["crawl_seconds"] <= NEAR_MIN_FRAC * lo_min
                 and hj["crawl_seconds"] <= NEAR_MIN_FRAC * hi_min)
-        absok = (li["hw_miters_per_sec"] >= HW_FLOOR_FRAC * lo_ref
-                 and hj["hw_miters_per_sec"] >= HW_FLOOR_FRAC * hi_ref)
+        f_lo = li["hw_miters_per_sec"] / max(lo_ref, 1e-9)
+        f_hi = hj["hw_miters_per_sec"] / max(hi_ref, 1e-9)
+        full = f_lo >= HW_FLOOR_FRAC and f_hi >= HW_FLOOR_FRAC
+        # symmetric whole-chip regime: both levels scaled by the same
+        # factor (ratio-preserving) — see HW_SYM_FLOOR_FRAC comment
+        sym = (min(f_lo, f_hi) >= HW_SYM_FLOOR_FRAC
+               and min(f_lo, f_hi) / max(f_lo, f_hi, 1e-9) >= HW_SYM_BAND)
+        absok = full or sym
         eff["near_session_min"] = near
+        eff["hw_frac_low"] = round(f_lo, 3)
+        eff["hw_frac_high"] = round(f_hi, 3)
+        eff["hw_regime"] = ("full" if full else
+                            "scaled" if sym else "starved")
         eff["hw_abs_ok"] = absok
         eff["clean"] = eff["clean"] and near and absok
         eff["dedup_clean"] = eff["dedup_clean"] and absok
@@ -878,7 +950,17 @@ def _write_baseline_md(result: dict, rounds_path: str) -> None:
         "compares the levels to each other, so multi-hour LOW-level",
         "starvation (observed: lo at 9-12 Miters/s vs the machine's 15,",
         "hi nominal) passes them all while corrupting the N->4N ratio",
-        "in either direction.",
+        "in either direction. The floor carries one documented",
+        "exception: the host runs two whole-chip compute regimes (full:",
+        "lo ~18 / hi ~71.6 Miters/s; scaled: lo ~14 / hi ~56 — the",
+        "majority regime, and the one both 2026-08-19 clean rounds were",
+        "measured in), and a SYMMETRIC regime scales both levels by the",
+        "same factor, preserving the N->4N ratio the floor protects. A",
+        "round below the full-regime floor stays clean iff both levels'",
+        f"ref-fractions are >= {HW_SYM_FLOOR_FRAC} and within",
+        f"{HW_SYM_BAND} of each other (min/max), with the DRAM channel",
+        "still independently capped; each round records hw_frac_low/",
+        "hw_frac_high and a full/scaled/starved regime tag.",
         "The min-ratio columns are the ratio of the two levels' best",
         "observed throughputs — across this session's rounds, and across",
         "ALL bench sessions on this machine (BENCH/minima.json, keyed by",
@@ -1089,7 +1171,10 @@ def main() -> None:
         if n >= rounds or failed_attempts:  # extra / post-failure round
             if remaining < 300:  # no room for sleep + a full round pair
                 break
-            time.sleep(min(retry_sleep, max(0.0, remaining - 300)))
+            # probe-gated: sleep through hopeless windows instead of
+            # burning a guaranteed-dirty pair in them
+            if not _wait_for_extra_round_window(t0, budget_s, retry_sleep):
+                break
         elif n > 0:
             if remaining < 60:
                 break  # budget gone mid-base-rounds; keep what we have

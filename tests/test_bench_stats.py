@@ -174,6 +174,43 @@ def test_finalize_clean_absolute_hw_floor():
     assert effs2[0]["hw_abs_ok"] is True and effs2[0]["clean"] is True
 
 
+def test_finalize_clean_symmetric_regime_exception():
+    """r5: the host runs two whole-chip compute regimes (full: lo ~18 /
+    hi ~71.6 Miters/s; scaled: lo ~14 / hi ~56 — the majority regime,
+    in which both 2026-08-19 clean rounds were measured). A max-folded
+    absolute floor at 0.85 of the turbo refs permanently rejects the
+    scaled regime, but a SYMMETRIC whole-chip scaling preserves the
+    N->4N ratio the floor protects — so matched sub-floor fractions
+    pass (tagged "scaled"), while asymmetric or deep-starved rounds
+    still fail (tagged "starved")."""
+    hist = {"low": {"hw_miters_per_sec": 18.0},
+            "high": {"hw_miters_per_sec": 71.6}}
+
+    def effs_for(lo_hw, hi_hw):
+        lo = _run(2, 80.0, 30.0, 28.0, hw=lo_hw, steal=0.5, bw=50.0)
+        hi = _run(8, 25.0, 9.0, 8.0, hw=hi_hw, steal=0.5, bw=200.0)
+        effs = [bench._round_effs(lo, hi)]
+        bench._finalize_clean(effs, [lo], [hi], hist=hist)
+        return effs[0]
+
+    # scaled regime: fracs 14.3/18=0.794 and 56.2/71.6=0.785 — matched
+    e = effs_for(14.3, 56.2)
+    assert e["hw_abs_ok"] is True and e["clean"] is True
+    assert e["hw_regime"] == "scaled"
+    assert abs(e["hw_frac_low"] - 0.794) < 0.001
+    # full regime still tagged as such
+    e = effs_for(17.5, 70.0)
+    assert e["hw_abs_ok"] is True and e["hw_regime"] == "full"
+    # asymmetric: lo starved to 0.56 of ref while hi holds 0.78 — the
+    # exact corruption mode the floor exists for (ratio inflated)
+    e = effs_for(10.0, 56.0)
+    assert e["hw_abs_ok"] is False and e["clean"] is False
+    assert e["hw_regime"] == "starved"
+    # deep symmetric storm: matched fracs but below the 0.72 sym floor
+    e = effs_for(12.0, 47.7)
+    assert e["hw_abs_ok"] is False and e["hw_regime"] == "starved"
+
+
 def test_gate_pool_selects_clean_rounds_only():
     """VERDICT r3 #6: when ANY clean round exists, the headline median
     must pool over clean rounds ONLY; the all-rounds fallback is reserved
@@ -269,3 +306,37 @@ def test_resolve_dedup_pre_shuffle_auto():
         assert resolve_dedup_pre_shuffle(None, master) is False
     assert resolve_dedup_pre_shuffle(False, "local[8]") is False
     assert resolve_dedup_pre_shuffle(True, "yarn") is True
+
+
+def test_wait_for_extra_round_window_cheap_paths(monkeypatch):
+    """The probe-gated extra-round wait must (a) break immediately on an
+    exhausted budget without burning a probe, (b) fall back to the
+    legacy single-sleep behavior when disabled, and (c) proceed on the
+    first OK probe / keep polling through WAITs within budget."""
+    import time as _time
+
+    import bench
+
+    # (a) budget floor reached -> False, instantly
+    t0 = _time.time()
+    assert bench._wait_for_extra_round_window(
+        _time.time() - 4000, 3300, 150) is False
+    assert _time.time() - t0 < 1
+
+    # (b) disabled -> True via the legacy sleep (clipped to 0 here)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PROBE", "0")
+    t0 = _time.time()
+    assert bench._wait_for_extra_round_window(
+        _time.time() - 3000, 3300, 150) is True
+    assert _time.time() - t0 < 1
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PROBE")
+
+    # (c) stubbed probe: WAIT, WAIT, OK -> True after three polls
+    verdicts = iter([(False, "w1"), (False, "w2"), (True, "ok")])
+    import probe_quiet  # importable: bench added tools/ to sys.path in (a)
+
+    monkeypatch.setattr(probe_quiet, "probe",
+                        lambda fast=False: next(verdicts))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PROBE_SLEEP", "0.01")
+    assert bench._wait_for_extra_round_window(
+        _time.time(), 400, 150) is True

@@ -51,9 +51,9 @@ def stat():
     return busy + v[7], v[7]
 
 
-def hw(workers, s=1.0):
+def hw(workers, s=1.0, reps=2):
     best = 0.0
-    for _ in range(2):
+    for _ in range(reps):
         with mp.Pool(workers) as p:
             t0 = time.time()
             tot = sum(p.map(burn, [s] * workers))
@@ -82,9 +82,9 @@ def mem_burn(s):
     return probes
 
 
-def mem(workers, s=1.0):
+def mem(workers, s=1.0, reps=3):
     best = 0.0
-    for _ in range(3):  # max of 3: first-touch warmup, steal variance
+    for _ in range(reps):  # max-of-N: first-touch warmup, steal variance
         with mp.Pool(workers) as p:
             t0 = time.time()
             tot = sum(p.map(mem_burn, [s] * workers))
@@ -92,22 +92,41 @@ def mem(workers, s=1.0):
     return best
 
 
-def main():
+def _minima_path() -> str:
+    # resolve relative to the repo root, not the caller's cwd, so
+    # bench.py (repo root) and the watcher (any cwd) read the same refs
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "minima.json")
+
+
+def probe(fast: bool = False):
+    """Run the weather burns and evaluate every gate.
+
+    Returns ``(ok, line)`` — ``ok`` True iff the window is quiet, and
+    ``line`` the human-readable gate readout. ``fast=True`` shrinks
+    each burn (steal 1.5 s, single hw rep, 2 mem reps, skip the bw
+    channel) for callers polling inside a bounded wall budget
+    (bench.py's extra-round gate): ~15 s instead of ~45 s, trading the
+    noisiest channel (bw) and some probe variance for frequency — the
+    full bench round the probe guards applies the real clean gates
+    anyway, so a fast-probe false positive only costs one round pair,
+    never a false clean round."""
     b0 = stat()
     with mp.Pool(8) as p:
-        p.map(burn, [4.0] * 8)
+        p.map(burn, [1.5 if fast else 4.0] * 8)
     b1 = stat()
     w = b1[0] - b0[0]
     s = b1[1] - b0[1]
     steal = round(100.0 * s / w, 2) if w else 0.0
 
-    hw2, hw8 = hw(2), hw(8)
+    reps = 1 if fast else 2
+    hw2, hw8 = hw(2, reps=reps), hw(8, reps=reps)
     hwr = round(hw8 / max(hw2, 1e-9), 2)
 
     refs = {"low": 14.8, "high": 59.2}
     mem_refs = {"low": 327.7, "high": 609.2}
     try:
-        m = json.load(open("BENCH/minima.json"))
+        m = json.load(open(_minima_path()))
         refs = {"low": m["low"]["hw_miters_per_sec"],
                 "high": m["high"]["hw_miters_per_sec"]}
         mem_refs = {"low": m["low"].get("mem_mprobes_per_sec",
@@ -117,12 +136,30 @@ def main():
     except Exception:
         pass
     frac = float(os.environ.get("PROBE_HW_FRAC", "0.88"))
-    hw_ok = hw2 >= frac * refs["low"] and hw8 >= frac * refs["high"]
+    f2, f8 = hw2 / max(refs["low"], 1e-9), hw8 / max(refs["high"], 1e-9)
+    # mirror bench.py's symmetric-regime exception (HW_SYM_FLOOR_FRAC
+    # comment there): the host's majority "scaled" regime sits ~0.79 of
+    # the turbo all-time refs at BOTH levels — a symmetric whole-chip
+    # scaling preserves the N->4N ratio, so the probe must not WAIT on
+    # it (observed: 5h of 2026-08-20 probes failed on hw2 alone while
+    # every other channel was green)
+    sym_floor = float(os.environ.get("PROBE_HW_SYM_FLOOR", "0.72"))
+    sym_band = float(os.environ.get("PROBE_HW_SYM_BAND", "0.90"))
+    hw_full = f2 >= frac and f8 >= frac
+    hw_sym = (min(f2, f8) >= sym_floor
+              and min(f2, f8) / max(f2, f8, 1e-9) >= sym_band)
+    hw_ok = hw_full or hw_sym
+    hw_regime = "full" if hw_full else "scaled" if hw_sym else "starved"
 
-    bw(8)  # warmup: first-touch page allocation makes sample 1 ~100x slow
-    r = round(bw(8) / max(bw(2), 1e-9), 2)
+    if fast:
+        r, bw_ok, bw_txt = None, True, "bw=skip"
+    else:
+        # warmup: first-touch page allocation makes sample 1 ~100x slow
+        bw(8)
+        r = round(bw(8) / max(bw(2), 1e-9), 2)
+        bw_ok, bw_txt = r >= 3.0, f"bw_ratio={r}"
 
-    mem2, mem8 = mem(2), mem(8)
+    mem2, mem8 = mem(2, reps=2 if fast else 3), mem(8, reps=2 if fast else 3)
     memr = round(mem8 / max(mem2, 1e-9), 2)
     mem_frac = float(os.environ.get("PROBE_MEM_FRAC", "0.55"))
     mem_cap = float(os.environ.get("PROBE_MEM_MAX", "3.2"))
@@ -130,12 +167,18 @@ def main():
               and mem8 >= mem_frac * mem_refs["high"]
               and memr <= mem_cap)
 
-    ok = steal < 3.0 and r >= 3.0 and hwr >= 3.5 and hw_ok and mem_ok
-    print(f"{'OK' if ok else 'WAIT'} steal={steal}% bw_ratio={r}"
-          f" hw2={hw2:.1f}/{refs['low']} hw8={hw8:.1f}/{refs['high']}"
-          f" hw_ratio={hwr}"
-          f" mem2={mem2:.0f}/{mem_refs['low']}"
-          f" mem8={mem8:.0f}/{mem_refs['high']} mem_ratio={memr}")
+    ok = steal < 3.0 and bw_ok and hwr >= 3.5 and hw_ok and mem_ok
+    line = (f"{'OK' if ok else 'WAIT'} steal={steal}% {bw_txt}"
+            f" hw2={hw2:.1f}/{refs['low']} hw8={hw8:.1f}/{refs['high']}"
+            f" hw_ratio={hwr} hw_regime={hw_regime}"
+            f" mem2={mem2:.0f}/{mem_refs['low']}"
+            f" mem8={mem8:.0f}/{mem_refs['high']} mem_ratio={memr}")
+    return ok, line
+
+
+def main():
+    ok, line = probe(fast=os.environ.get("PROBE_FAST", "") == "1")
+    print(line)
     return 0 if ok else 1
 
 
