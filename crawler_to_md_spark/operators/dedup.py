@@ -68,23 +68,47 @@ def _minhash_udf(num_perm: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_perm)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
-            # (a*h + b) mod p for all perms at once: (P, S) matrix min.
-            # All-uint64 so the product WRAPS mod 2^64 (never promotes to
-            # float64, which a mixed int64 operand would force, rounding
-            # away the low bits); the value is exactly
-            # ((a*h + b) mod 2^64) mod p — reproducible in any engine with
-            # 128-bit ints (DuckDB HUGEINT), which is what lets the md5
-            # twin (queries.py::minhash_md5_docs) value-check this UDF.
+        # (a*h + b) mod p for all perms at once, batched across ROWS:
+        # non-empty rows are concatenated into one flat hash vector and
+        # processed in bounded chunks as a (P, S_chunk) matrix with a
+        # per-row segmented min (minimum.reduceat) — elementwise
+        # arithmetic identical to the old one-row-at-a-time loop, minus
+        # its ~40us/row of Python/numpy call overhead.
+        # All-uint64 so the product WRAPS mod 2^64 (never promotes to
+        # float64, which a mixed int64 operand would force, rounding
+        # away the low bits); the value is exactly
+        # ((a*h + b) mod 2^64) mod p — reproducible in any engine with
+        # 128-bit ints (DuckDB HUGEINT), which is what lets the md5
+        # twin (queries.py::minhash_md5_docs) value-check this UDF.
+        n = len(hashes)
+        arrs: list = [None] * n
+        lens = np.zeros(n, dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is not None and len(hs) > 0:
+                arrs[i] = np.asarray(hs, dtype=np.int64)
+                lens[i] = len(arrs[i])
+        result = np.zeros((n, num_perm), dtype=np.int64)  # empty rows -> 0s
+        nz = np.flatnonzero(lens)
+        # chunk rows so the (P, S_chunk) work matrix stays ~<=4M cells
+        max_cells = 1 << 22
+        s_budget = max(1, max_cells // num_perm)
+        lo = 0
+        while lo < nz.size:
+            hi, cells = lo, 0
+            while hi < nz.size and (cells == 0
+                                    or cells + lens[nz[hi]] <= s_budget):
+                cells += lens[nz[hi]]
+                hi += 1
+            rows = nz[lo:hi]
+            h = (np.concatenate([arrs[i] for i in rows])
+                 .astype(np.uint64) & np.uint64(_MERSENNE))
             with np.errstate(over="ignore"):
                 m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(m.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+            offs = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[rows[:-1]], out=offs[1:])
+            result[rows] = np.minimum.reduceat(m, offs, axis=1).T.astype(np.int64)
+            lo = hi
+        return pd.Series(result.tolist())
 
     return mh
 
@@ -404,21 +428,45 @@ def md5_token_hash(t):
 
 
 def _simhash_udf(seed: int):
+    shifts = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf(T.LongType())
     def sh(token_hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in token_hashes:
-            if hs is None or len(hs) == 0:
-                out.append(0)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for i in range(63, -1, -1):
-                val = (val << 1) | int(votes[i] > 0)
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out, dtype="object")
+        # per-bit majority vote batched across ROWS: all tokens of the
+        # batch's non-empty rows form one flat hash vector, the (S, 64)
+        # bit matrix is summed per row with add.reduceat, and the vote
+        # (2*ones - n_tokens > 0) packs back into an int64 via a uint64
+        # bit-OR-as-sum + two's-complement view — bit-for-bit the old
+        # per-row loop (whose 64-step Python pack dominated its cost).
+        n = len(token_hashes)
+        arrs: list = [None] * n
+        lens = np.zeros(n, dtype=np.int64)
+        for i, hs in enumerate(token_hashes):
+            if hs is not None and len(hs) > 0:
+                arrs[i] = np.asarray(hs, dtype=np.int64)
+                lens[i] = len(arrs[i])
+        res = np.zeros(n, dtype=np.int64)  # empty rows -> 0
+        nz = np.flatnonzero(lens)
+        s_budget = 1 << 19  # ~512k tokens/chunk -> <=256 MB bit matrix
+        lo = 0
+        while lo < nz.size:
+            hi, cells = lo, 0
+            while hi < nz.size and (cells == 0
+                                    or cells + lens[nz[hi]] <= s_budget):
+                cells += lens[nz[hi]]
+                hi += 1
+            rows = nz[lo:hi]
+            h = np.concatenate([arrs[i] for i in rows]).astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            offs = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[rows[:-1]], out=offs[1:])
+            ones = np.add.reduceat(bits, offs, axis=0)  # (n_rows, 64)
+            maj = (2 * ones - lens[rows][:, None]) > 0
+            packed = (maj.astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            res[rows] = packed.view(np.int64)
+            lo = hi
+        return pd.Series(res)
 
     return sh
 

@@ -61,6 +61,87 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCAN_META: dict[str, tuple[int | None, int]] = {}
+
+
+def _scan_meta(path: str) -> tuple[int | None, int]:
+    """(row_groups, rows) of a parquet file/dir from the footer(s) —
+    driver-side metadata only, cached per path."""
+    got = _SCAN_META.get(path)
+    if got is not None:
+        return got
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path] if os.path.isfile(path)
+            else [
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        )
+        rgs = rows = 0
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            rgs += meta.num_row_groups
+            rows += meta.num_rows
+        out: tuple[int | None, int] = (rgs, rows)
+    except Exception:
+        out = (None, 0)
+    _SCAN_META[path] = out
+    return out
+
+
+def _t_heavy(spark: SparkSession, sf_dir: str, name: str, key: str,
+             min_rows_factor: int = 32) -> DataFrame:
+    """Table read for COMPUTE-HEAVY consumers (regex/shingle/UDF per row):
+    when the parquet layout cannot feed every core — parquet splits cannot
+    go below row-group boundaries, and the testdata tables are one file
+    with ONE row group, so scan-rooted stages run on a single core no
+    matter the split config — hash-repartition on ``key`` immediately
+    after the read (guide §2.5 "input skew ... repartition immediately
+    after the read"). Keyed, not round-robin: round-robin pays a local
+    sort per task (sortBeforeRepartition) for retry determinism; a
+    deterministic id key needs none and spreads uniformly.
+
+    Scale-adaptive, not constant: the shuffle is added ONLY when the
+    row-group count is below the session's core count and there are
+    enough rows to amortize it (>= 32/partition). At production scale a
+    100 TB table has orders of magnitude more row groups than cores, so
+    this is a no-op there — it exists for exactly the
+    one-giant-row-group layout where Spark cannot manufacture scan
+    parallelism. Purely relational scans (lineitem/orders/events) are
+    NOT routed through this: their per-row compute is parquet decode
+    itself, and a measured A/B (OPTIMIZATION_r06.md) showed the extra
+    exchange is a net loss there.
+
+    Result-identical: every consumer is a groupBy/join/window pipeline
+    whose output does not depend on input partitioning; the driver's
+    value gate is order-insensitive (sorted rows)."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    rgs, rows = _scan_meta(f"{sf_dir}/{name}.parquet")
+    if rgs is not None and rgs < par and rows >= min_rows_factor * par:
+        df = df.repartition(par, F.col(key))
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t_heavy(spark, sf_dir, "documents", "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str,
+         min_rows_factor: int = 256) -> DataFrame:
+    # default floor 256 rows/core: the top-k scorer's per-row work (3
+    # 64-dim folds) amortizes the exchange only for larger tables
+    # (interleaved A/B: 2k rows lose ~0.06 s, 20k rows win); the
+    # all-pairs caller passes 32 — its stream side does O(rows) folds
+    # PER ROW, so even small tables are compute-bound single-task
+    return _t_heavy(spark, sf_dir, "embeddings", "vec_id", min_rows_factor)
+
+
 # ---------------------------------------------------------------------------
 # Relational analytics core (TPC-H-shaped)
 # ---------------------------------------------------------------------------
@@ -260,6 +341,9 @@ GROUP BY event_type
 
 def docs_by_source(spark, sf_dir):
     """Per-host crawl-metrics aggregation shape (SURVEY.md A1/A4)."""
+    # plain read: a sum/count over two narrow columns has no per-row
+    # compute to parallelize — the _docs repartition would cost more
+    # than the single-pass partial agg it replaces
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -526,6 +610,10 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def dedup_exact_docs(spark, sf_dir):
+    # plain read: the per-row compute (one md5 over normalized text) is
+    # too cheap to amortize a pre-shuffle — interleaved A/B showed the
+    # _docs repartition costs ~2x here (the window's own exchange on _k
+    # already parallelizes everything downstream of the scan)
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs).select("doc_id", "lang")
 
@@ -543,7 +631,7 @@ _NTOK_SQL = f"CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKENS_SQL}) EN
 
 
 def token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("_nt", token_count(F.col("text")))
         .groupBy("lang")
@@ -564,7 +652,7 @@ GROUP BY lang
 
 
 def quality_per_doc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
     )
@@ -594,7 +682,7 @@ FROM (
 
 
 def lang_id_eval(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("pred", lang_id(F.col("text")))
         .groupBy("lang", "pred")
@@ -634,6 +722,10 @@ SELECT lang, pred, count(*) AS n FROM (
 
 
 def fingerprint_docs(spark, sf_dir):
+    # plain read: map-only plan (no downstream exchange) with one
+    # md5+regexp per row — a pre-shuffle would add the plan's only
+    # exchange for compute that is already sub-second (see
+    # dedup_exact_docs)
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
@@ -644,7 +736,7 @@ FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 def jaccard_pairs_docs(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs >= 0.5 over documents (the oracle
     for the MinHash-LSH sketch path, which is tested in pytest)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_jaccard_pairs(docs, threshold=0.5)
 
 
@@ -673,7 +765,7 @@ def embedding_topk(spark, sf_dir):
     """Brute-force cosine top-10 for the 3 lowest-id query vectors.
     Ranks computed over ROUNDED cosine (6dp) with id tie-break so both
     engines rank identically despite float ulps."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     q = emb.orderBy("vec_id").limit(3).select(
@@ -731,7 +823,7 @@ SELECT query_id, vec_id, cosine, rank FROM (
 def embedding_pairs(spark, sf_dir):
     """Exact all-pairs cosine >= 0.4 (embedding near-dup, exact form; the
     LSH-blocked variant is pytest-verified)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir, min_rows_factor=32).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
@@ -939,7 +1031,7 @@ def minhash_pairs_docs(spark, sf_dir):
     sketch pipeline independent of Spark (tools/gen_xxhash_literals.py);
     the md5 twin (minhash_md5_pairs_docs) additionally re-derives every
     stage inside DuckDB itself."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32)
 
 
@@ -1006,7 +1098,7 @@ def minhash_md5_docs(spark, sf_dir):
     variant drives the exact same numpy pandas-UDF affine-min sketch
     (operators/dedup.py::_minhash_udf, all-uint64 arithmetic) through the
     driver's value gate, one (doc, perm) row per signature slot."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(
         docs, num_perm=16, shingle_hash=md5_token_hash
     )
@@ -1031,7 +1123,7 @@ def minhash_md5_pairs_docs(spark, sf_dir):
     oracle reproduces every stage bit-for-bit (banding included), so a
     green row checks the banded join's candidate set, the skew-cap
     semantics, and the verify join, not just final jaccard math."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(
         docs, threshold=0.5, num_perm=16, bands=4,
         shingle_hash=md5_token_hash, band_hash=md5_token_hash,
@@ -1075,7 +1167,7 @@ def simhash_docs(spark, sf_dir):
     pure-Python XXH64 + plain-int vote independent of Spark
     (tools/gen_xxhash_literals.py); the md5 twin (simhash_md5_docs)
     additionally re-derives the vote inside DuckDB itself."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_fingerprints(docs)
 
 
@@ -1085,7 +1177,7 @@ def simhash_md5_docs(spark, sf_dir):
     analog but md5 does, so THIS variant drives the exact same pandas-UDF
     bit-vote construction (operators/dedup.py::_simhash_udf) through the
     driver's value gate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
     return fp.select(F.col("id").alias("doc_id"), "simhash")
 
@@ -1132,7 +1224,7 @@ def hamming_pairs_docs(spark, sf_dir):
     the whole pipeline — fingerprint AND banding join — reproducible in
     the DuckDB oracle (which verifies with a brute-force quadratic join;
     pigeonhole guarantees the banded plan finds the same pairs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return _md5_hamming_pairs(docs)
 
 
@@ -1174,7 +1266,7 @@ def neardup_clusters_docs(spark, sf_dir):
     doc_id and sized. The DuckDB oracle recomputes the SAME pairs and
     closes them with a recursive CTE — a full value check of an
     iterative distributed graph algorithm."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return cluster_assignments(_md5_hamming_pairs(docs)).select(
         F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
     )
@@ -1186,7 +1278,7 @@ def dedup_keep_canonical_docs(spark, sf_dir):
     docs pass through. This is the operation a training-data pipeline
     actually runs — pair lists are an intermediate, the kept set is the
     product."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     kept = keep_canonical(docs, _md5_hamming_pairs(docs), id_col="doc_id")
     return kept.select("doc_id", "source", "n_chars")
 
@@ -1200,7 +1292,7 @@ def hamming_clusters_all_docs(spark, sf_dir):
     their own id with cluster_size 1. md5 token hash makes the whole
     pipeline reproducible in the DuckDB oracle (recursive-CTE closure +
     a singleton union)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = simhash_fingerprints(docs, token_hash=md5_token_hash)
     return hamming_neardup_clusters(
         fp, "id", "simhash", max_hamming=8, bands=9
@@ -1219,7 +1311,7 @@ def curate_training_docs(spark, sf_dir):
     oracle recomputes the whole pipeline, including the recursive-CTE
     transitive closure, so the driver row value-checks stage composition
     — a filter/fingerprint/closure change anywhere flips it red."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     cand = (
         quality_features(docs)
         .withColumn("pred_lang", lang_id(F.col("text")))
