@@ -68,47 +68,29 @@ def _minhash_udf(num_perm: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(hashes: pd.Series) -> pd.Series:
-        # (a*h + b) mod p for all perms at once, batched across ROWS:
-        # non-empty rows are concatenated into one flat hash vector and
-        # processed in bounded chunks as a (P, S_chunk) matrix with a
-        # per-row segmented min (minimum.reduceat) — elementwise
-        # arithmetic identical to the old one-row-at-a-time loop, minus
-        # its ~40us/row of Python/numpy call overhead.
-        # All-uint64 so the product WRAPS mod 2^64 (never promotes to
-        # float64, which a mixed int64 operand would force, rounding
-        # away the low bits); the value is exactly
-        # ((a*h + b) mod 2^64) mod p — reproducible in any engine with
-        # 128-bit ints (DuckDB HUGEINT), which is what lets the md5
-        # twin (queries.py::minhash_md5_docs) value-check this UDF.
-        n = len(hashes)
-        arrs: list = [None] * n
-        lens = np.zeros(n, dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is not None and len(hs) > 0:
-                arrs[i] = np.asarray(hs, dtype=np.int64)
-                lens[i] = len(arrs[i])
-        result = np.zeros((n, num_perm), dtype=np.int64)  # empty rows -> 0s
-        nz = np.flatnonzero(lens)
-        # chunk rows so the (P, S_chunk) work matrix stays ~<=4M cells
-        max_cells = 1 << 22
-        s_budget = max(1, max_cells // num_perm)
-        lo = 0
-        while lo < nz.size:
-            hi, cells = lo, 0
-            while hi < nz.size and (cells == 0
-                                    or cells + lens[nz[hi]] <= s_budget):
-                cells += lens[nz[hi]]
-                hi += 1
-            rows = nz[lo:hi]
-            h = (np.concatenate([arrs[i] for i in rows])
-                 .astype(np.uint64) & np.uint64(_MERSENNE))
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([0] * num_perm)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
+            # (a*h + b) mod p for all perms at once: (P, S) matrix min.
+            # All-uint64 so the product WRAPS mod 2^64 (never promotes to
+            # float64, which a mixed int64 operand would force, rounding
+            # away the low bits); the value is exactly
+            # ((a*h + b) mod 2^64) mod p — reproducible in any engine with
+            # 128-bit ints (DuckDB HUGEINT), which is what lets the md5
+            # twin (queries.py::minhash_md5_docs) value-check this UDF.
+            # DELIBERATELY per-row (r6): the (P, S_row) temporaries of a
+            # ~200-shingle row are ~200 KB — L2-resident — where a
+            # row-batched rewrite's multi-MB chunk temporaries were
+            # DRAM-bandwidth-bound and measured 1.5-10x SLOWER on this
+            # bandwidth-starved host (OPTIMIZATION_r06.md); the Python
+            # loop overhead it saved is ~40us/row, noise next to the math.
             with np.errstate(over="ignore"):
                 m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            offs = np.zeros(rows.size, dtype=np.int64)
-            np.cumsum(lens[rows[:-1]], out=offs[1:])
-            result[rows] = np.minimum.reduceat(m, offs, axis=1).T.astype(np.int64)
-            lo = hi
-        return pd.Series(result.tolist())
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
 
     return mh
 
@@ -432,12 +414,16 @@ def _simhash_udf(seed: int):
 
     @F.pandas_udf(T.LongType())
     def sh(token_hashes: pd.Series) -> pd.Series:
-        # per-bit majority vote batched across ROWS: all tokens of the
-        # batch's non-empty rows form one flat hash vector, the (S, 64)
-        # bit matrix is summed per row with add.reduceat, and the vote
-        # (2*ones - n_tokens > 0) packs back into an int64 via a uint64
-        # bit-OR-as-sum + two's-complement view — bit-for-bit the old
-        # per-row loop (whose 64-step Python pack dominated its cost).
+        # per-bit majority vote batched across a FEW rows at a time: the
+        # chunk's tokens form one flat hash vector, the (S, 64) int8 bit
+        # matrix is summed per row with add.reduceat(dtype=int64), and
+        # the vote (2*ones - n_tokens > 0) packs back into an int64 via
+        # a uint64 bit-OR-as-sum + two's-complement view — bit-for-bit
+        # the old per-row loop (whose 64-step Python pack per row
+        # dominated its cost). The chunk budget is deliberately SMALL
+        # (4096 tokens -> ~256 KB bit matrix, L2-resident): a large-batch
+        # variant with multi-100MB chunk temporaries was DRAM-bandwidth-
+        # bound and slower on this host (OPTIMIZATION_r06.md).
         n = len(token_hashes)
         arrs: list = [None] * n
         lens = np.zeros(n, dtype=np.int64)
@@ -447,7 +433,7 @@ def _simhash_udf(seed: int):
                 lens[i] = len(arrs[i])
         res = np.zeros(n, dtype=np.int64)  # empty rows -> 0
         nz = np.flatnonzero(lens)
-        s_budget = 1 << 19  # ~512k tokens/chunk -> <=256 MB bit matrix
+        s_budget = 4096
         lo = 0
         while lo < nz.size:
             hi, cells = lo, 0
@@ -457,10 +443,10 @@ def _simhash_udf(seed: int):
                 hi += 1
             rows = nz[lo:hi]
             h = np.concatenate([arrs[i] for i in rows]).astype(np.uint64)
-            bits = ((h[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
             offs = np.zeros(rows.size, dtype=np.int64)
             np.cumsum(lens[rows[:-1]], out=offs[1:])
-            ones = np.add.reduceat(bits, offs, axis=0)  # (n_rows, 64)
+            ones = np.add.reduceat(bits, offs, axis=0, dtype=np.int64)
             maj = (2 * ones - lens[rows][:, None]) > 0
             packed = (maj.astype(np.uint64) << shifts[None, :]).sum(
                 axis=1, dtype=np.uint64)

@@ -132,6 +132,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t_heavy(spark, sf_dir, "documents", "doc_id")
 
 
+def _orders_joinable(spark: SparkSession, sf_dir: str,
+                     max_broadcast_rows: int = 500_000) -> DataFrame:
+    """The orders table prepared for an equi-join against lineitem with
+    the join strategy picked DELIBERATELY (guide §3.1): under the session
+    broadcast threshold Catalyst broadcasts orders, which is right while
+    it is small but collapses once it is millions of rows — the
+    single-threaded broadcast build dominated q5 at sf1.0 (interleaved
+    A/B: broadcast 7.9 s vs shuffled-hash 2.5 s; a wash at sf0.1 where
+    orders is 150k rows). Above ``max_broadcast_rows`` the SHUFFLE_HASH
+    hint forces a shuffled hash join with orders as the per-partition
+    build side — the strategy that stays correct at any scale (sort-merge
+    only needed when a build partition would not fit memory, which AQE
+    can still fall back to)."""
+    orders = _t(spark, sf_dir, "orders")
+    _, rows = _scan_meta(f"{sf_dir}/orders.parquet")
+    if rows > max_broadcast_rows:
+        orders = orders.hint("shuffle_hash")
+    return orders
+
+
 def _emb(spark: SparkSession, sf_dir: str,
          min_rows_factor: int = 256) -> DataFrame:
     # default floor 256 rows/core: the top-k scorer's per-row work (3
@@ -225,7 +245,7 @@ def q5_nation_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     sup = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _orders_joinable(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     dims = (
         nation.join(F.broadcast(region),
