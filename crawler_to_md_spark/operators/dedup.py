@@ -169,11 +169,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # cap degenerate buckets (skew guard)
-    sizes = banded.groupBy("band", "bucket").count()
-    banded = banded.join(
-        sizes.filter(F.col("count") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # cap degenerate buckets (skew guard) with a keyed WINDOW count, not
+    # a groupBy+join-back: the window's exchange hash-partitions the
+    # banded stream on (band, bucket) — exactly the distribution the
+    # bucket self-join below needs — so the cap costs zero extra
+    # exchanges and one scan of the banded rows where the join-back
+    # shape scanned them twice and added its own shuffle (guide §2.4:
+    # two operations keyed the same way share one exchange)
+    wcap = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_bc", F.count("*").over(wcap))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
     )
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
@@ -296,10 +303,13 @@ def hamming_neardup_pairs(
             ])
         ).alias("band", "key"),
     )
-    sizes = banded.groupBy("band", "key").count()
-    banded = banded.join(
-        sizes.filter(F.col("count") <= max_bucket).select("band", "key"),
-        ["band", "key"],
+    # windowed skew cap — shares its exchange with the self-join below
+    # (see minhash_lsh_pairs)
+    wcap = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("_bc", F.count("*").over(wcap))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
     )
     a = banded.select("band", "key", F.col("h").alias("h_a"))
     b = banded.select("band", "key", F.col("h").alias("h_b"))
@@ -539,9 +549,12 @@ def embedding_neardup_pairs(
         )
         .persist()
     )
-    sizes = fam.groupBy("bucket").count()
-    capped = fam.join(
-        sizes.filter(F.col("count") <= max_bucket).select("bucket"), "bucket"
+    # windowed skew cap — shares its exchange with the bucket self-join
+    # below (see minhash_lsh_pairs)
+    capped = (
+        fam.withColumn("_bc", F.count("*").over(Window.partitionBy("bucket")))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
     )
     a = capped.select("bucket", F.col("rep").alias("rep_a"),
                       F.col("v").alias("v_a"), F.col("n").alias("n_a"))

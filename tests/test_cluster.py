@@ -180,3 +180,38 @@ def test_neardup_cluster_queries_consistent(spark):
     }
     dropped = {d for d, c in clusters.items() if d != c}
     assert kept == all_ids - dropped
+
+
+def test_reliable_checkpoint_seam(spark, tmp_path):
+    """VERDICT r5 #6: with a reliable checkpoint dir configured, the
+    closure's lineage truncation must go through checkpoint() (files
+    under the dir), not localCheckpoint(); with none set, it must not
+    require one. Results are identical either way."""
+    edges = [(1, 2), (2, 3), (10, 11)]
+    want = _union_find(edges)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    base = {(r["id"], r["component"])
+            for r in connected_components(_pairs_df(spark, edges)).collect()}
+    assert base == set(want.items())
+
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = {(r["id"], r["component"])
+               for r in connected_components(_pairs_df(spark, edges)).collect()}
+        assert got == set(want.items())
+        import os
+
+        found = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, "reliable checkpoint dir is set but no checkpoint files were written"
+    finally:
+        # tmp_path dies with the test: later tests in this session must
+        # fall back to localCheckpoint, not a dangling dir
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
