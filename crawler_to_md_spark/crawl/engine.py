@@ -479,6 +479,11 @@ class CrawlEngine:
         )
         ok = ((F.col("status") == 200)
               & F.col("content_type").startswith("text/html"))
+        # defragmented candidate link — inlined into the fused link
+        # filter and projection below (Column objects are immutable and
+        # reusable, but need an active SparkContext to construct, so
+        # this cannot be a module-level constant)
+        _LINK = defrag(F.col("href"))
         self._exprs = {
             "scrape_col": scrape(F.col("html"), F.col("url")),
             "gate": F.when(ok.isNull(), F.lit(False)).otherwise(ok),
@@ -487,15 +492,23 @@ class CrawlEngine:
                 F.col("depth").alias("src_depth"),
                 F.posexplode_outer(F.col("_s.links")).alias("pos", "href"),
             ],
-            "href_not_null": F.col("href").isNotNull(),
-            "link_defrag": defrag(F.col("href")),
-            "valid": valid_link_expr(
-                F.col("link"), cfg.base_url,
+            # fused link chain (r6): the old shape was 5 Dataset ops
+            # (select/filter/withColumn/filter/select), each an eager
+            # JVM re-analysis of the growing wave plan — ~0.1 s/wave of
+            # plan_build_py. The defrag expr is inlined into the filter
+            # and the projection instead of materializing a "link"
+            # column; whole-stage codegen's subexpression elimination
+            # evaluates it once per row, and substring_index is cheap
+            # either way. (This filter sits above the posexplode
+            # generator, so the scan-pushdown expression-inlining tax of
+            # r5 finding 4 cannot apply.)
+            "link_filter": F.col("href").isNotNull() & valid_link_expr(
+                _LINK, cfg.base_url,
                 cfg.include_patterns, cfg.exclude_patterns,
             ),
             "link_sel": [
-                url_hash(F.col("link")).alias("url_hash"),
-                F.col("link").alias("url"),
+                url_hash(_LINK).alias("url_hash"),
+                _LINK.alias("url"),
                 ((F.col("src_rank") * _OKEY_POS_SPAN)
                  + F.least(F.col("pos"),
                            F.lit(_OKEY_POS_SPAN - 1))).alias("okey"),
@@ -780,7 +793,11 @@ class CrawlEngine:
             )
 
         ex = self._wave_exprs()
-        fetched = fetched.withColumn("_gate", ex["gate"])
+        # the steady (elide) wave never reads _gate as a column — only as
+        # a predicate — so skip materializing it there (one less Dataset
+        # op per wave; each op is an eager JVM re-analysis of the plan)
+        if not (recomputable and elide_visited):
+            fetched = fetched.withColumn("_gate", ex["gate"])
         # HTML never enters a cache: building a columnar cache of the raw
         # pages (~0.4 KB/row compressed + decompression on every read) was
         # the steady wave's single hottest stage, and it is pure memory
@@ -808,8 +825,10 @@ class CrawlEngine:
         # raw html column is dropped before the cache — no consumer reads
         # it (links use _s.links, pages use _s.content), and it would
         # triple the cache's byte volume
+        gate_pred = (ex["gate"] if (recomputable and elide_visited)
+                     else F.col("_gate"))
         scraped = (
-            fetched.filter(F.col("_gate"))
+            fetched.filter(gate_pred)
             .withColumn("_s", ex["scrape_col"])
             .drop("html")
             .persist()
@@ -836,9 +855,7 @@ class CrawlEngine:
             # intra-page discovery order beyond that point is arbitrary.)
             links = (
                 scraped.select(*ex["explode_sel"])
-                .filter(ex["href_not_null"])
-                .withColumn("link", ex["link_defrag"])
-                .filter(ex["valid"])
+                .filter(ex["link_filter"])
                 .select(*ex["link_sel"])
             )
             if resolve_dedup_pre_shuffle(
@@ -1103,7 +1120,9 @@ class CrawlEngine:
             n_skip = n_selected - n_gate
             minus_files: list[str] = []
             if n_skip > 0:
-                skipped = fetched.filter(~F.col("_gate")).select(
+                # elide path: _gate was never materialized as a column
+                # (fused wave chain) — re-derive the predicate inline
+                skipped = fetched.filter(~ex["gate"]).select(
                     "url_hash", "url",
                     F.lit(wave).cast("int").alias("wave_visited"),
                     F.lit("skipped").alias("status"),
