@@ -66,7 +66,7 @@ def main() -> None:
     }
     stamp = datetime.datetime.utcnow().strftime("%Y-%m-%dT%H%M")
     path = os.path.join(REPO, "BENCH",
-                        f"evidence_r5_e2e_convergence_{stamp}.json")
+                        f"evidence_r6_e2e_convergence_{stamp}.json")
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items()
