@@ -95,6 +95,16 @@ def minhash_sig(sh: list[str], a: list[int], b: list[int]) -> list[int]:
 
 
 def round_half_up6(x: float) -> float:
+    """HALF_UP to 6 dp over the EXACT binary expansion of the double.
+
+    Tie caveat (ADVICE r5): Spark's ``F.round(col, 6)`` on DoubleType
+    rounds the SHORTEST decimal repr (Scala ``BigDecimal.decimal`` ==
+    ``Double.toString``), while ``Decimal(x)`` here expands the full
+    binary value — the two disagree on exact half-way ties at the 7th
+    digit. No current fixture value sits on such a tie
+    (test_xxhash_fixture_in_sync_with_queries pins the live data); if a
+    regeneration on new data ever trips one, switch to
+    ``Decimal(repr(x))`` to match Spark's shortest-repr semantics."""
     return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
