@@ -128,8 +128,9 @@ def _t_heavy(spark: SparkSession, sf_dir: str, name: str, key: str,
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t_heavy(spark, sf_dir, "documents", "doc_id")
+def _docs(spark: SparkSession, sf_dir: str,
+          min_rows_factor: int = 32) -> DataFrame:
+    return _t_heavy(spark, sf_dir, "documents", "doc_id", min_rows_factor)
 
 
 def _orders_joinable(spark: SparkSession, sf_dir: str,
@@ -651,7 +652,10 @@ _NTOK_SQL = f"CASE WHEN trim(lower(text)) = '' THEN 0 ELSE len({_TOKENS_SQL}) EN
 
 
 def token_stats(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    # floor 256 rows/core: one split()+size per row is midweight —
+    # interleaved A/B showed the pre-shuffle loses at 5k docs (0.288 vs
+    # 0.336) and wins at 50k (0.766 vs 0.487)
+    docs = _docs(spark, sf_dir, min_rows_factor=256)
     return (
         docs.withColumn("_nt", token_count(F.col("text")))
         .groupBy("lang")
