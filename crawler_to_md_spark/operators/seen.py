@@ -328,16 +328,18 @@ class JvmBloomSeenSet:
         key set (added keys crossed half capacity)."""
         return self.growable and 2 * self.n_added > self.capacity
 
-    def _agg_blob(self, src: DataFrame):
-        """One JVM agg job over pre-shaped ``h`` rows: (serialized delta
-        filter, exact row count). The count shares the job — no second
-        pass."""
-        jvm = self.spark.sparkContext._jvm
-        # BloomFilterAggregate SILENTLY CLAMPS its size arguments to the
-        # runtime-filter conf ceilings (Math.min in Spark's
-        # BloomFilterAggregate) — a clamped delta has a different bit size
-        # and refuses to merge. Raise the ceilings to this filter's size.
-        conf = src.sparkSession.conf
+    def _raise_runtime_filter_ceilings(self, session) -> None:
+        """Spark's bloom builders SILENTLY CLAMP their size arguments to
+        the runtime-filter conf ceilings (``Math.min`` in
+        ``BloomFilterAggregate``, which since Spark 4 also backs
+        ``Dataset.stat.bloomFilter``) — a clamped delta derives a
+        DIFFERENT hash count than the held filter and ``mergeInPlace``
+        throws ``IncompatibleMergeException``. The defaults
+        (maxNumItems 4e6, maxNumBits 2^26) are exactly big enough for a
+        1M-URL crawl's grown filter (capacity 4e6), which is why this
+        only surfaced on the 4M-page e2e-convergence run. Raise the
+        ceilings to this filter's size on EVERY delta-build path."""
+        conf = session.conf
         for key, val in (
             ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
              self.capacity),
@@ -350,6 +352,13 @@ class JvmBloomSeenSet:
                 cur = 0
             if cur < val:
                 conf.set(key, str(val))
+
+    def _agg_blob(self, src: DataFrame):
+        """One JVM agg job over pre-shaped ``h`` rows: (serialized delta
+        filter, exact row count). The count shares the job — no second
+        pass."""
+        jvm = self.spark.sparkContext._jvm
+        self._raise_runtime_filter_ceilings(src.sparkSession)
         agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate.\
             BloomFilterAggregate(
                 self._jexpr(F.col("h")),
@@ -398,6 +407,7 @@ class JvmBloomSeenSet:
                 return
             if self.growable and self.n_added == 0 and 2 * n_rows > self.capacity:
                 self._resize(n_rows)
+            self._raise_runtime_filter_ceilings(src.sparkSession)
             jdelta = src._jdf.stat().bloomFilter(
                 "h", self.capacity, self.num_bits
             )

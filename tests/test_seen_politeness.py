@@ -540,3 +540,25 @@ def test_robots_rules_table_feeds_gate(spark):
     )
     kept = {r["url"] for r in robots_gate(pending, rules).collect()}
     assert kept == {"https://h0.x/p/2", "https://h1.x/p/1"}
+
+
+def test_bloom_delta_merge_past_runtime_filter_ceiling(spark):
+    """Regression (r6, found by the 4M-page e2e run): once the grown
+    filter's capacity exceeds spark.sql.optimizer.runtime.bloomFilter.
+    maxNumItems (default 4e6), Spark's stat().bloomFilter delta build
+    silently clamps its size, derives a different hash count, and
+    mergeInPlace throws IncompatibleMergeException. The ceilings must be
+    raised on EVERY delta-build path, not just the agg-blob one."""
+    from crawler_to_md_spark.operators.seen import JvmBloomSeenSet
+
+    bf = JvmBloomSeenSet(spark, num_bits=1 << 13, growable=True)
+    bf._resize(1_500_000)  # capacity 6e6 > the 4e6 default ceiling
+    keys = spark.range(1000).select(F.col("id").alias("url_hash"))
+    bf.add_distributed(keys, n_rows=1000)  # stat() path
+    bf.add_distributed(
+        spark.range(1000, 1200).select(F.col("id").alias("url_hash"))
+    )  # agg-blob path
+    probed = keys.withColumn(
+        "m", bf.probe(spark, F.col("url_hash"))
+    ).agg(F.sum(F.col("m").cast("int"))).first()[0]
+    assert probed == 1000  # no false negatives ever
