@@ -5,7 +5,7 @@ Six strategies, each a distributed DataFrame plan (no driver loops):
 - exact:       hash-groupBy on normalized text (first-write-wins like the
                reference's INSERT OR IGNORE, database_manager.py:48-51).
 - minhash_lsh: shingle -> minhash signature (numpy Arrow UDF) -> band ->
-               bucket self-join -> EXACT Jaccard verify (array_intersect /
+               per-bucket pair explosion -> EXACT Jaccard verify (array_intersect /
                array_union, JVM-side). Classic Broder MinHash + LSH.
 - simhash:     64-bit weighted-bit-vote fingerprint; near-dups via banded
                equality blocking + hamming<=r verify (bit_count(xor)).
@@ -18,7 +18,7 @@ Six strategies, each a distributed DataFrame plan (no driver loops):
                hyperplane LSH blocking + exact cosine verify.
 
 Scale notes: every candidate-pair generator blocks BEFORE joining (band
-buckets, hyperplane buckets) so the self-join never goes quadratic; bucket
+buckets, hyperplane buckets) so pair generation never goes quadratic; bucket
 skew is capped by ``max_bucket`` (oversized buckets are dropped and
 logged — at 100 TB a bucket holding >10^4 docs is a degenerate shingle,
 not signal). Signatures are computed in one Arrow pass with numpy.
@@ -49,6 +49,69 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_k", "_rn")
+    )
+
+
+def _bucket_pairs(banded: DataFrame, keys: list[str], val: str,
+                  max_bucket: int, a_name: str, b_name: str,
+                  explode_cap: int = 256) -> DataFrame:
+    """Within-bucket candidate pairs via ONE keyed aggregation (r6).
+
+    collect_list + size filter replaces the windowed-count cap: the
+    agg's exchange is the only shuffle the banded stream sees (the
+    window form ran WindowExec — a per-partition sort plus the count —
+    on BOTH self-join sides of the shared exchange, then paid the join
+    build/probe), and the size filter reproduces the ``max_bucket``
+    skew cap exactly (count-filter over the same keys).
+
+    Pair generation is the sorted-array i<j explosion — exactly the
+    self-join's candidate set (values are distinct within a bucket: one
+    row per (value, band) upstream, so position order i<j <=> a < b) —
+    CHUNKED so a degenerate bucket near ``max_bucket`` cannot
+    materialize its C(k, 2) pairs as one in-memory array value (50M+
+    structs at the 10k minhash cap would be a multi-GB per-task
+    allocation): buckets first explode into ceil((k-1)/explode_cap)
+    chunk rows (each carrying the k-value array — bounded at
+    k^2/explode_cap values ≈ 6 MB/bucket at the minhash cap), then each
+    chunk generates pairs for its explode_cap left-elements only
+    (≤ explode_cap·k structs ≈ tens of MB at the cap, the memory
+    bound). Buckets of ordinary size pay one extra explode of a
+    single-chunk row — the interleaved A/B win over the windowed-cap +
+    self-join shape held (~−20% on the minhash family at both 5k and
+    50k docs). Cross-band duplicate pairs collapse in the final
+    dropDuplicates, as before.
+    """
+    buck = (
+        banded.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(val)).alias("_vs"))
+        .filter((F.size("_vs") >= 2) & (F.size("_vs") <= max_bucket))
+    )
+    vs = F.col("_vs")
+    n = F.size(vs)
+    cap = F.lit(explode_cap)
+    # chunks tile i in [0, n-2] (the left element of each i<j pair);
+    # n >= 2 from the filter above, so the chunk count m >= 1 and the
+    # sequence is ascending
+    m = F.ceil((n - F.lit(1)) / cap).cast("int")
+    ch = buck.select(
+        "_vs", F.explode(F.sequence(F.lit(0), m - F.lit(1))).alias("_c")
+    )
+    lo = F.col("_c") * cap  # 0-based global index of this chunk's first i
+    cnt = F.least(cap, (n - F.lit(1)) - lo)
+    pairs = F.flatten(
+        F.transform(
+            F.slice(vs, lo + F.lit(1), cnt),
+            lambda x, i: F.transform(
+                F.slice(vs, lo + i + F.lit(2),
+                        F.greatest(F.lit(0), n - (lo + i) - F.lit(1))),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+    return (
+        ch.select(F.explode(pairs).alias("_p"))
+        .select(f"_p.{a_name}", f"_p.{b_name}")
+        .dropDuplicates([a_name, b_name])
     )
 
 
@@ -135,15 +198,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Plan: signature -> band slices -> bucket hash -> self-join per bucket
-    on (band, bucket, id) ONLY -> dedupe candidate id-pairs -> join the
-    shingle sets back BY ID for the exact Jaccard verify.
+    Plan: signature -> band slices -> bucket hash -> per-bucket id
+    collect + i<j pair explosion (_bucket_pairs) -> dedupe candidate
+    id-pairs -> join the shingle sets back BY ID for the exact Jaccard
+    verify.
 
-    The band explode and bucket self-join carry just (band, bucket, id) —
-    never the shingle arrays. A banded join that carries payloads shuffles
-    each doc's full shingle set ``bands`` times and again through the pair
-    dedup; keying the verify join by id moves each shingle set at most
-    twice, independent of ``bands`` (r1 bench: 15.5s -> this shape).
+    The band explode and bucket aggregation carry just (band, bucket,
+    id) — never the shingle arrays. A banded join that carries payloads
+    shuffles each doc's full shingle set ``bands`` times and again
+    through the pair dedup; keying the verify join by id moves each
+    shingle set at most twice, independent of ``bands`` (r1 bench:
+    15.5s -> this shape).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
@@ -169,26 +234,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # cap degenerate buckets (skew guard) with a keyed WINDOW count, not
-    # a groupBy+join-back: the window's exchange hash-partitions the
-    # banded stream on (band, bucket) — exactly the distribution the
-    # bucket self-join below needs — so the cap costs zero extra
-    # exchanges and one scan of the banded rows where the join-back
-    # shape scanned them twice and added its own shuffle (guide §2.4:
-    # two operations keyed the same way share one exchange)
-    wcap = Window.partitionBy("band", "bucket")
-    banded = (
-        banded.withColumn("_bc", F.count("*").over(wcap))
-        .filter(F.col("_bc") <= max_bucket)
-        .drop("_bc")
-    )
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # skew cap + candidate pairs in one keyed aggregation (guide §2.4;
+    # see _bucket_pairs — replaces the r6-interim windowed cap +
+    # self-join, which ran WindowExec twice over the shared exchange)
+    cand = _bucket_pairs(
+        banded, ["band", "bucket"], "id", max_bucket, "id_a", "id_b"
     )
     shing = sigs.select("id", "shingles")
     pairs = (
@@ -268,15 +318,15 @@ def hamming_neardup_pairs(
 
     Blocking: any pair within distance r must agree on at least one of
     (r+1) disjoint bit-bands (pigeonhole), so ``bands >= max_hamming+1``
-    guarantees full recall while the self-join only meets rows sharing a
-    band key (never quadratic). Verification is ``bit_count(xor)`` —
+    guarantees full recall while pair generation only meets rows sharing
+    a band key (never quadratic). Verification is ``bit_count(xor)`` —
     pure JVM codegen, no UDF. Returns (id_a, id_b, hamming), id_a<id_b.
 
     Skew guards (the 100 TB degenerate-family problem — every empty/
     boilerplate doc votes the SAME simhash, every black thumbnail the
     same phash):
     - exact-equal fingerprints collapse BEFORE banding: the banded
-      self-join sees one row per DISTINCT fingerprint, so a 10^6-doc
+      engine sees one row per DISTINCT fingerprint, so a 10^6-doc
       duplicate family contributes 1 banded row, not 10^6. Within-family
       pairs (hamming 0) come from a family-restricted equi-join instead.
     - ``max_bucket`` count-filters (band, key) buckets holding more than
@@ -303,8 +353,14 @@ def hamming_neardup_pairs(
             ])
         ).alias("band", "key"),
     )
-    # windowed skew cap — shares its exchange with the self-join below
-    # (see minhash_lsh_pairs)
+    # windowed skew cap — shares its exchange with the self-join below.
+    # DELIBERATELY NOT _bucket_pairs (r6): hamming band keys are ~7-16
+    # bit slices, so buckets here are wide (hundreds+ of distinct
+    # fingerprints) and candidate volume is join-dominated — the
+    # interleaved A/B measured the collect+explode shape 3-4x slower in
+    # this regime (array materialization + GC), while the streamed
+    # self-join form wins; minhash's tiny signature-collision buckets
+    # measured the opposite (see _bucket_pairs).
     wcap = Window.partitionBy("band", "key")
     banded = (
         banded.withColumn("_bc", F.count("*").over(wcap))

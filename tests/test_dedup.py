@@ -427,3 +427,36 @@ def test_xxhash_fixture_in_sync_with_queries(spark):
         for r in minhash_pairs_docs(spark, sf).collect()
     )
     assert got_pairs == sorted(MINHASH_XX_PAIR_ROWS)
+
+
+def test_bucket_pairs_chunk_boundaries_match_combinations(spark):
+    """_bucket_pairs (r6 chunked i<j explosion) must emit exactly the
+    self-join's candidate set for bucket sizes straddling the
+    explode_cap chunk boundary (cap, cap±1, 2*cap+odd), including the
+    max_bucket drop and cross-bucket dedup of repeated pairs."""
+    import itertools
+
+    from crawler_to_md_spark.operators.dedup import _bucket_pairs
+
+    cap = 8  # small cap so multi-chunk paths run in-test
+    sizes = {1: 1, 2: 2, 3: 7, 4: 8, 5: 9, 6: 19, 7: 30}
+    rows = [(b, v * 10 + b) for b, k in sizes.items() for v in range(k)]
+    rows += [(99, 1000), (99, 1001)]  # second bucket sharing a pair shape
+    max_bucket = 25  # drops the 30-element bucket only
+    df = spark.createDataFrame(rows, "bucket int, id long")
+    got = sorted(
+        map(tuple, _bucket_pairs(
+            df, ["bucket"], "id", max_bucket, "id_a", "id_b",
+            explode_cap=cap,
+        ).collect())
+    )
+    want = set()
+    for b, k in list(sizes.items()) + [(99, 2)]:
+        if k < 2 or k > max_bucket:
+            continue
+        vals = sorted(
+            v * 10 + b if b != 99 else 1000 + v for v in range(k)
+        )
+        want |= set(itertools.combinations(vals, 2))
+    assert got == sorted(want)
+    assert any(k > cap for k in sizes.values())  # multi-chunk exercised
